@@ -1,0 +1,80 @@
+"""Benchmark: online mapping train-step throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The headline metric is rendered training rays/sec of the nerfacto-equivalent
+mapper at the reference's production configuration (4096 rays/batch,
+proposal 128+64 + 48 final samples, pose optimization on) — the reference's
+mapping budget is 8192 iters x 4096 rays (BASELINE.md). vs_baseline is the
+ratio against the 1M rays/s north-star target for one TPU v5e chip.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from nerf_vo_tpu.mapping import keyframe_buffer as kb
+    from nerf_vo_tpu.mapping.trainer import MappingTrainer, TrainerConfig
+    from nerf_vo_tpu.models.nerfacto import NerfactoConfig, NerfactoModel
+
+    K, H, W = 192, 360, 640  # configs/nerf_vo_replica.yaml geometry
+    rays = 4096
+    model = NerfactoModel(NerfactoConfig(num_images=K))
+    trainer = MappingTrainer(
+        model, TrainerConfig(rays_per_batch=rays, max_iterations=8192), K
+    )
+    state = trainer.init(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(0)
+    buf = kb.create(K, H, W)
+    n_kf = 32
+    c2w = np.tile(np.eye(4, dtype=np.float32), (n_kf, 1, 1))
+    c2w[:, :3, 3] = rng.uniform(-0.5, 0.5, (n_kf, 3))
+    packet = {
+        "intrinsics": jnp.tile(
+            jnp.asarray([320.0, 320.0, W / 2, H / 2]), (n_kf, 1)
+        ),
+        "c2w": jnp.asarray(c2w),
+        "color": jnp.asarray(rng.uniform(0, 1, (n_kf, H, W, 3)), jnp.float32),
+        "depth": jnp.asarray(rng.uniform(0.5, 4.0, (n_kf, H, W)), jnp.float32),
+        "normal": jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (n_kf, H, W, 1)),
+    }
+    buf = kb.insert(buf, jnp.arange(n_kf), packet)
+
+    key = jax.random.PRNGKey(1)
+
+    # warmup / compile
+    for _ in range(5):
+        key, sub = jax.random.split(key)
+        state, metrics = trainer.train_step(state, buf, sub)
+    jax.block_until_ready(metrics)
+
+    n_steps = 100
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        key, sub = jax.random.split(key)
+        state, metrics = trainer.train_step(state, buf, sub)
+    jax.block_until_ready(metrics)
+    dt = time.perf_counter() - t0
+
+    rays_per_sec = rays * n_steps / dt
+    print(
+        json.dumps(
+            {
+                "metric": "mapping_train_rays_per_sec",
+                "value": round(rays_per_sec, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(rays_per_sec / 1e6, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

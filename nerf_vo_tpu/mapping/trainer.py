@@ -1,0 +1,163 @@
+"""Online NeRF mapping trainer: fused sample→render→loss→update step.
+
+TPU-native replacement for the reference's nerfstudio ``Trainer`` +
+``VanillaPipeline`` + optimizer wiring (nerf_vo/mapping/nerfstudio.py:47-173):
+one jitted train step samples a ray batch from the keyframe buffer, renders,
+computes the full loss set, and applies Adam updates to the field parameters
+AND the per-keyframe SE3 pose corrections (the reference's CameraOptimizer,
+Adam 1e-4 with exponential decay to 1e-5 — nerfstudio.py:84-100).
+
+The whole step is one XLA program with donated state — the TPU never waits on
+the host between iterations (async dispatch), which is what replaces the
+reference's process-parallel trainer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from nerf_vo_tpu.mapping import keyframe_buffer as kb
+from nerf_vo_tpu.models.nerfacto import NerfactoConfig, NerfactoModel
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainerConfig:
+    rays_per_batch: int = 4096  # reference: 4096 (nerfstudio.py:62)
+    learning_rate: float = 1e-2  # fields+proposals Adam (nerfstudio.py:84-100)
+    camera_learning_rate: float = 1e-4
+    camera_lr_final: float = 1e-5
+    max_iterations: int = 8192  # mapping_iterations (configs/*.yaml)
+    optimize_extrinsics: bool = True
+    eps: float = 1e-15
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any  # {"proposal_0", ..., "field"}
+    pose_deltas: jnp.ndarray  # [K, 6]
+    opt_state: Any
+    cam_opt_state: Any
+    step: jnp.ndarray  # [] int32
+
+
+class MappingTrainer:
+    def __init__(self, model: NerfactoModel, config: TrainerConfig,
+                 num_keyframes: int):
+        self.model = model
+        self.config = config
+        self.num_keyframes = num_keyframes
+        self.tx = optax.adam(config.learning_rate, eps=config.eps)
+        cam_schedule = optax.exponential_decay(
+            init_value=config.camera_learning_rate,
+            transition_steps=max(config.max_iterations, 1),
+            decay_rate=config.camera_lr_final / config.camera_learning_rate,
+        )
+        self.cam_tx = optax.adam(cam_schedule, eps=1e-8)
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+
+    def init(self, key) -> TrainState:
+        params = self.model.init(key)
+        pose_deltas = jnp.zeros((self.num_keyframes, 6), jnp.float32)
+        return TrainState(
+            params=params,
+            pose_deltas=pose_deltas,
+            opt_state=self.tx.init(params),
+            cam_opt_state=self.cam_tx.init(pose_deltas),
+            step=jnp.asarray(0, jnp.int32),
+        )
+
+    # ------------------------------------------------------------------
+
+    def _loss_fn(self, params, pose_deltas, buffer, key):
+        k_sample, k_render = jax.random.split(key)
+        deltas = pose_deltas if self.config.optimize_extrinsics else None
+        batch = kb.sample_ray_batch(
+            buffer, deltas, k_sample, self.config.rays_per_batch
+        )
+        return self.model.loss(params, batch, k_render)
+
+    def _train_step_impl(self, state: TrainState, buffer: kb.KeyframeBuffer,
+                         key) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        def wrapped(params, pose_deltas):
+            return self._loss_fn(params, pose_deltas, buffer, key)
+
+        (loss, metrics), grads = jax.value_and_grad(
+            wrapped, argnums=(0, 1), has_aux=True
+        )(state.params, state.pose_deltas)
+        g_params, g_pose = grads
+
+        updates, opt_state = self.tx.update(g_params, state.opt_state)
+        params = optax.apply_updates(state.params, updates)
+
+        if self.config.optimize_extrinsics:
+            # keyframe 0 is the gauge anchor: freeze it
+            g_pose = g_pose.at[0].set(0.0)
+            cam_updates, cam_opt_state = self.cam_tx.update(
+                g_pose, state.cam_opt_state
+            )
+            pose_deltas = optax.apply_updates(state.pose_deltas, cam_updates)
+        else:
+            pose_deltas = state.pose_deltas
+            cam_opt_state = state.cam_opt_state
+
+        new_state = TrainState(
+            params=params,
+            pose_deltas=pose_deltas,
+            opt_state=opt_state,
+            cam_opt_state=cam_opt_state,
+            step=state.step + 1,
+        )
+        return new_state, metrics
+
+    def train_step(self, state: TrainState, buffer: kb.KeyframeBuffer, key
+                   ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        return self._train_step(state, buffer, key)
+
+    # ------------------------------------------------------------------
+
+    def optimized_c2w(self, state: TrainState, buffer: kb.KeyframeBuffer):
+        """Per-keyframe poses with the learned SE3 corrections applied
+        (reference: composing camera-optimizer deltas,
+        evaluation/nerf_renderer.py:109-123)."""
+        from nerf_vo_tpu.core import conventions, lie
+
+        delta = lie.se3_matrix(lie.se3_exp(state.pose_deltas))
+        return conventions.apply_transform(delta, buffer.c2w)
+
+    def render_image(self, state: TrainState, c2w, intrinsics, height: int,
+                     width: int, chunk: int = 1 << 14) -> Dict[str, jnp.ndarray]:
+        """Full-frame render in fixed-size ray chunks (eval path,
+        reference nerfstudio get_outputs_for_camera_ray_bundle [upstream])."""
+        from nerf_vo_tpu.core import cameras
+
+        ys, xs = jnp.meshgrid(
+            jnp.arange(height, dtype=jnp.float32),
+            jnp.arange(width, dtype=jnp.float32),
+            indexing="ij",
+        )
+        xy = jnp.stack([xs, ys], -1).reshape(-1, 2) + 0.5
+        n = xy.shape[0]
+        pad = (-n) % chunk
+        xy = jnp.pad(xy, ((0, pad), (0, 0)))
+        o, d, dn = cameras.generate_rays(c2w, intrinsics, xy, "opengl")
+
+        render = jax.jit(
+            lambda oo, dd: self.model.render(state.params, oo, dd, None)
+        )
+        outs = []
+        for i in range(0, n + pad, chunk):
+            r = render(o[i:i + chunk], d[i:i + chunk])
+            outs.append({k: r[k] for k in ("rgb", "depth", "accumulation")})
+        cat = {k: jnp.concatenate([x[k] for x in outs])[:n] for k in outs[0]}
+        rgb = cat["rgb"].reshape(height, width, 3)
+        # euclidean ray distance -> z-depth (reference nerf_renderer.py:164-166)
+        zdepth = (cat["depth"] / dn[: n, 0]).reshape(height, width)
+        acc = cat["accumulation"].reshape(height, width)
+        return {"rgb": rgb, "depth": zdepth, "accumulation": acc}

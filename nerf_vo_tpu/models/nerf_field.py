@@ -1,0 +1,157 @@
+"""Hash-grid NeRF fields (nerfacto-family) in Flax.
+
+TPU-native replacement for nerfstudio's ``HashMLPDensityField`` /
+``NerfactoField`` (reference submodule N7, consumed via
+nerf_vo/mapping/nerfstudio.py:47-103) and the tiny-cuda-nn fused MLPs inside
+them (N6). The MLPs here are deliberately plain XLA matmuls: at 64-wide
+hidden layers over >=10^5 samples per batch they map straight onto the MXU
+and XLA fuses the elementwise chain — a hand-written Pallas kernel buys
+nothing until profiling says otherwise (SURVEY.md §7.1(4)).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from nerf_vo_tpu.ops import hash_grid
+from nerf_vo_tpu.ops.hash_grid import HashGridConfig
+from nerf_vo_tpu.ops.sh import sh_encode
+
+
+@jax.custom_vjp
+def trunc_exp(x):
+    """exp with a clamped-input gradient (Instant-NGP's density activation)."""
+    return jnp.exp(x)
+
+
+def _trunc_exp_fwd(x):
+    return jnp.exp(x), x
+
+
+def _trunc_exp_bwd(x, g):
+    return (g * jnp.exp(jnp.clip(x, -15.0, 15.0)),)
+
+
+trunc_exp.defvjp(_trunc_exp_fwd, _trunc_exp_bwd)
+
+
+class MLP(nn.Module):
+    hidden: int
+    depth: int
+    out_dim: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x = x.astype(self.dtype)
+        for _ in range(self.depth):
+            x = nn.Dense(self.hidden, dtype=self.dtype)(x)
+            x = nn.relu(x)
+        x = nn.Dense(self.out_dim, dtype=self.dtype)(x)
+        return x.astype(jnp.float32)
+
+
+class ProposalDensityField(nn.Module):
+    """Small hash grid -> density only (nerfstudio HashMLPDensityField)."""
+
+    grid: HashGridConfig = HashGridConfig(
+        n_levels=5, features_per_level=2, log2_table_size=17,
+        base_resolution=16, max_resolution=256,
+    )
+    hidden: int = 16
+    use_contraction: bool = True
+    aabb_min: float = -1.0
+    aabb_max: float = 1.0
+
+    def _to_unit(self, positions):
+        if self.use_contraction:
+            return hash_grid.contract_to_unit_cube(positions)
+        return hash_grid.normalize_to_unit_cube(
+            positions, self.aabb_min, self.aabb_max
+        )
+
+    @nn.compact
+    def __call__(self, positions):
+        """positions [..., 3] world-frame -> density [...]."""
+        tables = self.param(
+            "tables",
+            lambda key: hash_grid.init_tables(key, self.grid),
+        )
+        feat = hash_grid.hash_encode(tables, self._to_unit(positions), self.grid)
+        h = MLP(hidden=self.hidden, depth=1, out_dim=1)(feat)
+        return trunc_exp(h[..., 0] - 1.0)
+
+
+class NerfactoField(nn.Module):
+    """Hash-grid field with SH-encoded view directions and appearance embedding.
+
+    density(positions) -> (density, geo_feat); rgb(geo_feat, dirs, cam_idx).
+    Matches the nerfacto field's structure [upstream]: 16-level hash grid,
+    1-hidden-layer density MLP to (density, 15-dim geometry feature), 2-hidden
+    color MLP over [SH(dirs), geo_feat, appearance(cam)].
+    """
+
+    grid: HashGridConfig = HashGridConfig()
+    geo_feat_dim: int = 15
+    hidden: int = 64
+    appearance_dim: int = 32
+    num_images: int = 512
+    sh_degree: int = 4
+    use_contraction: bool = True
+    aabb_min: float = -1.0
+    aabb_max: float = 1.0
+    predict_normals: bool = True
+
+    def setup(self):
+        self.density_mlp = MLP(hidden=self.hidden, depth=1,
+                               out_dim=1 + self.geo_feat_dim)
+        self.color_mlp = MLP(hidden=self.hidden, depth=2, out_dim=3)
+        self.embedding = nn.Embed(self.num_images, self.appearance_dim)
+        if self.predict_normals:
+            self.normal_mlp = MLP(hidden=self.hidden, depth=2, out_dim=3)
+        self.tables = self.param(
+            "tables", lambda key: hash_grid.init_tables(key, self.grid)
+        )
+
+    def _to_unit(self, positions):
+        if self.use_contraction:
+            return hash_grid.contract_to_unit_cube(positions)
+        return hash_grid.normalize_to_unit_cube(
+            positions, self.aabb_min, self.aabb_max
+        )
+
+    def density(self, positions):
+        feat = hash_grid.hash_encode(self.tables, self._to_unit(positions), self.grid)
+        h = self.density_mlp(feat)
+        density = trunc_exp(h[..., 0] - 1.0)
+        return density, h[..., 1:]
+
+    def rgb(self, geo_feat, directions, camera_indices=None):
+        d = sh_encode(directions, self.sh_degree)
+        if camera_indices is None:
+            emb = jnp.zeros(geo_feat.shape[:-1] + (self.appearance_dim,))
+        else:
+            emb = self.embedding(camera_indices)
+            emb = jnp.broadcast_to(
+                emb[..., None, :] if emb.ndim < geo_feat.ndim else emb,
+                geo_feat.shape[:-1] + (self.appearance_dim,),
+            )
+        h = jnp.concatenate([d, geo_feat, emb], axis=-1)
+        return nn.sigmoid(self.color_mlp(h))
+
+    def normals(self, geo_feat):
+        n = self.normal_mlp(geo_feat)
+        return n / jnp.clip(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-7)
+
+    def __call__(self, positions, directions, camera_indices=None):
+        """Convenience joint forward (used for init)."""
+        density, geo = self.density(positions)
+        rgb = self.rgb(geo, directions, camera_indices)
+        out = {"density": density, "rgb": rgb}
+        if self.predict_normals:
+            out["pred_normals"] = self.normals(geo)
+        return out

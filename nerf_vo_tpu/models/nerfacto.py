@@ -1,0 +1,289 @@
+"""Nerfacto-equivalent NeRF model: proposal sampling + hash field + losses.
+
+TPU-native replacement for the reference's ``ExtendedNerfactoModel``
+(nerf_vo/mapping/nerfstudio_utils.py:326-350 on top of nerfstudio's
+DepthNerfactoModel/NerfactoModel [upstream]): two hash-grid proposal density
+fields drive PDF resampling, a final hash-grid field renders RGB / depth /
+normals, and the loss set is RGB MSE + interlevel + distortion + DS-NeRF
+depth + monosdf normal (+ orientation / pred-normal when predicting normals).
+
+Everything is static-shape and jit-compiled as ONE fused XLA program per
+train/render step; there is no nerfacc-style dynamic ray marching
+(SURVEY.md §7.3(3)).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from nerf_vo_tpu.models.nerf_field import (
+    HashGridConfig,
+    NerfactoField,
+    ProposalDensityField,
+)
+from nerf_vo_tpu.ops import losses as L
+from nerf_vo_tpu.ops import rendering as R
+
+
+@dataclasses.dataclass(frozen=True)
+class NerfactoConfig:
+    near: float = 0.05
+    far: float = 50.0
+    spacing: str = "disparity"
+    num_proposal_samples: Tuple[int, ...] = (128, 64)
+    num_nerf_samples: int = 48
+    num_images: int = 512
+    use_contraction: bool = True
+    aabb_min: float = -1.0
+    aabb_max: float = 1.0
+    predict_normals: bool = True
+    background: str = "last_sample"  # or "black" / "white"
+    # loss multipliers (reference: nerf_vo/mapping/nerfstudio.py:62-103)
+    interlevel_loss_mult: float = 1.0
+    distortion_loss_mult: float = 0.002
+    depth_loss_mult: float = 0.001
+    normal_loss_mult: float = 5e-6
+    depth_sigma: float = 0.001
+    orientation_loss_mult: float = 1e-4
+    pred_normal_loss_mult: float = 1e-3
+    is_euclidean_depth: bool = False
+    max_res: int = 2048
+    log2_hashmap_size: int = 19
+
+
+class NerfactoModel:
+    """Stateless orchestrator; parameters live in a pytree owned by the caller."""
+
+    def __init__(self, config: NerfactoConfig = NerfactoConfig()):
+        self.config = config
+        common = dict(
+            use_contraction=config.use_contraction,
+            aabb_min=config.aabb_min,
+            aabb_max=config.aabb_max,
+        )
+        self.proposal_fields = [
+            ProposalDensityField(
+                grid=HashGridConfig(5, 2, 17, 16, 128), hidden=16, **common
+            ),
+            ProposalDensityField(
+                grid=HashGridConfig(5, 2, 17, 16, 256), hidden=16, **common
+            ),
+        ][: len(config.num_proposal_samples)]
+        self.field = NerfactoField(
+            grid=HashGridConfig(
+                16, 2, config.log2_hashmap_size, 16, config.max_res
+            ),
+            num_images=config.num_images,
+            predict_normals=config.predict_normals,
+            **common,
+        )
+        self._s_to_t = R.SPACINGS[config.spacing][0]
+
+    # -- params ------------------------------------------------------------
+
+    def init(self, key) -> Dict[str, Any]:
+        kp = jax.random.split(key, len(self.proposal_fields) + 1)
+        pts = jnp.zeros((8, 3))
+        dirs = jnp.ones((8, 3)) / jnp.sqrt(3.0)
+        params = {}
+        for i, pf in enumerate(self.proposal_fields):
+            params[f"proposal_{i}"] = pf.init(kp[i], pts)["params"]
+        params["field"] = self.field.init(
+            kp[-1], pts, dirs, jnp.zeros((8,), jnp.int32)
+        )["params"]
+        return params
+
+    # -- rendering ---------------------------------------------------------
+
+    def _positions(self, origins, directions, t_mid):
+        return origins[..., None, :] + directions[..., None, :] * t_mid[..., None]
+
+    def render(
+        self,
+        params: Dict[str, Any],
+        origins,
+        directions,
+        camera_indices=None,
+        key=None,
+        train: bool = False,
+        compute_grad_normals: bool = False,
+    ) -> Dict[str, Any]:
+        """Render a batch of rays.
+
+        Args:
+          origins/directions: [R, 3] world-frame rays (unit directions).
+          camera_indices: [R] int32 keyframe ids for appearance embedding.
+          key: PRNG key for stratified sampling (None -> deterministic centers).
+          train: stratified sampling + keep per-level histograms for losses.
+
+        Returns dict with rgb[R,3], depth[R] (euclidean ray distance),
+        accumulation[R], optionally normals[R,3], plus histogram extras.
+        """
+        cfg = self.config
+        n_rays = origins.shape[0]
+        keys = (
+            jax.random.split(key, len(cfg.num_proposal_samples) + 1)
+            if key is not None
+            else [None] * (len(cfg.num_proposal_samples) + 1)
+        )
+
+        edges_list = []
+        weights_list = []
+
+        s_edges = R.uniform_bins(
+            keys[0], n_rays, cfg.num_proposal_samples[0], stratified=train
+        )
+        for i, pf in enumerate(self.proposal_fields):
+            t_edges = self._s_to_t(s_edges, cfg.near, cfg.far)
+            t_mid = 0.5 * (t_edges[..., 1:] + t_edges[..., :-1])
+            deltas = t_edges[..., 1:] - t_edges[..., :-1]
+            pos = self._positions(origins, directions, t_mid)
+            density = pf.apply({"params": params[f"proposal_{i}"]}, pos)
+            weights, _ = R.render_weights(density, deltas)
+            edges_list.append(s_edges)
+            weights_list.append(weights)
+            n_next = (
+                cfg.num_proposal_samples[i + 1]
+                if i + 1 < len(cfg.num_proposal_samples)
+                else cfg.num_nerf_samples
+            )
+            s_edges = R.sample_pdf(
+                keys[i + 1], s_edges, weights, n_next, stratified=train
+            )
+
+        # final field
+        t_edges = self._s_to_t(s_edges, cfg.near, cfg.far)
+        t_mid = 0.5 * (t_edges[..., 1:] + t_edges[..., :-1])
+        deltas = t_edges[..., 1:] - t_edges[..., :-1]
+        pos = self._positions(origins, directions, t_mid)
+
+        field_params = {"params": params["field"]}
+        density, geo = self.field.apply(field_params, pos, method=self.field.density)
+
+        grad_normals = None
+        if compute_grad_normals:
+            density_sum = lambda p: jnp.sum(
+                self.field.apply(field_params, p, method=self.field.density)[0]
+            )
+            g = jax.grad(density_sum)(pos)
+            grad_normals = -g / jnp.clip(
+                jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-7
+            )
+
+        dirs_b = jnp.broadcast_to(directions[..., None, :], pos.shape)
+        rgb_samples = self.field.apply(
+            field_params, geo, dirs_b, camera_indices, method=self.field.rgb
+        )
+
+        weights, trans = R.render_weights(density, deltas)
+        edges_list.append(s_edges)
+        weights_list.append(weights)
+
+        if cfg.background == "last_sample":
+            background = rgb_samples[..., -1, :]
+        elif cfg.background == "white":
+            background = jnp.ones(3)
+        else:
+            background = jnp.zeros(3)
+        rgb = R.composite(weights, rgb_samples, background=background)
+        depth = R.render_depth(weights, t_mid)
+        acc = R.render_accumulation(weights)
+
+        out = {
+            "rgb": rgb,
+            "depth": depth,
+            "accumulation": acc,
+            "s_edges_list": edges_list,
+            "weights_list": weights_list,
+            "t_mid": t_mid,
+            "deltas": deltas,
+            "sample_weights": weights,
+        }
+        if cfg.predict_normals:
+            pred_n = self.field.apply(field_params, geo, method=self.field.normals)
+            out["normals"] = R.composite(weights, pred_n)
+            out["sample_pred_normals"] = pred_n
+        if grad_normals is not None:
+            out["sample_grad_normals"] = grad_normals
+        return out
+
+    # -- losses ------------------------------------------------------------
+
+    def loss(self, params, batch: Dict[str, Any], key, step=None) -> Tuple[Any, Dict]:
+        """Full training loss on a ray batch.
+
+        batch keys: origins, directions, rgb [R,3]; optional: depth [R],
+        normal [R,3], depth_cov [R], camera_indices [R], depth_mask, normal_mask.
+        """
+        cfg = self.config
+        out = self.render(
+            params,
+            batch["origins"],
+            batch["directions"],
+            batch.get("camera_indices"),
+            key=key,
+            train=True,
+            compute_grad_normals=cfg.predict_normals,
+        )
+        metrics = {}
+        loss = L.rgb_loss(out["rgb"], batch["rgb"])
+        metrics["rgb_loss"] = loss
+
+        # interlevel: each proposal histogram vs the final one
+        final_edges = out["s_edges_list"][-1]
+        final_w = out["weights_list"][-1]
+        inter = 0.0
+        for pe, pw in zip(out["s_edges_list"][:-1], out["weights_list"][:-1]):
+            inter = inter + R.interlevel_loss(pe, pw, final_edges, final_w)
+        metrics["interlevel_loss"] = inter
+        loss = loss + cfg.interlevel_loss_mult * inter
+
+        dist = R.distortion_loss(final_edges, final_w)
+        metrics["distortion_loss"] = dist
+        loss = loss + cfg.distortion_loss_mult * dist
+
+        if "depth" in batch and cfg.depth_loss_mult > 0:
+            dloss = L.ds_nerf_depth_loss(
+                out["sample_weights"],
+                out["t_mid"],
+                out["deltas"],
+                batch["depth"],
+                cfg.depth_sigma,
+                mask=batch.get("depth_mask"),
+            )
+            metrics["depth_loss"] = dloss
+            loss = loss + cfg.depth_loss_mult * dloss
+
+        if "normal" in batch and cfg.predict_normals and cfg.normal_loss_mult > 0:
+            nloss = L.monosdf_normal_loss(
+                out["normals"], batch["normal"], mask=batch.get("normal_mask")
+            )
+            metrics["normal_loss"] = nloss
+            loss = loss + cfg.normal_loss_mult * nloss
+
+        if cfg.predict_normals and "sample_grad_normals" in out:
+            oloss = L.orientation_loss(
+                out["sample_weights"],
+                out["sample_grad_normals"],
+                batch["directions"],
+            )
+            ploss = L.pred_normal_loss(
+                out["sample_weights"],
+                out["sample_pred_normals"],
+                out["sample_grad_normals"],
+            )
+            metrics["orientation_loss"] = oloss
+            metrics["pred_normal_loss"] = ploss
+            loss = (
+                loss
+                + cfg.orientation_loss_mult * oloss
+                + cfg.pred_normal_loss_mult * ploss
+            )
+
+        metrics["loss"] = loss
+        metrics["psnr"] = -10.0 * jnp.log10(jnp.clip(metrics["rgb_loss"], 1e-10))
+        return loss, metrics

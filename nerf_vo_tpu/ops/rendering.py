@@ -1,0 +1,205 @@
+"""Volume rendering primitives: spacing, resampling, compositing, reg losses.
+
+TPU-native replacement for the sampling/rendering stack the reference gets
+from nerfstudio's samplers + renderers and nerfacc's CUDA ray marching
+(SURVEY.md N7/N9). Everything here is static-shape: a fixed number of samples
+per ray at every stage (proposal-in-proposal PDF resampling emulates adaptive
+ray marching without dynamic shapes — SURVEY.md §7.3(3)).
+
+Sample positions live in a normalized "s-space" in [0, 1] related to metric
+ray distance t through an invertible spacing function; histograms from coarse
+(proposal) passes are resampled via inverse-CDF in s-space exactly like
+mipnerf-360 / nerfacto [upstream].
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# ---------------------------------------------------------------------------
+# spacing functions: s in [0,1] <-> metric distance t
+# ---------------------------------------------------------------------------
+
+
+def s_to_t_disparity(s, near, far):
+    """Linear-in-disparity spacing (nerfacto default for contracted scenes)."""
+    return 1.0 / ((1.0 - s) / near + s / far)
+
+
+def t_to_s_disparity(t, near, far):
+    inv_t = 1.0 / jnp.clip(t, 1e-8)
+    return (1.0 / near - inv_t) / (1.0 / near - 1.0 / far)
+
+
+def s_to_t_linear(s, near, far):
+    return near + s * (far - near)
+
+
+def t_to_s_linear(t, near, far):
+    return (t - near) / (far - near)
+
+
+SPACINGS = {
+    "disparity": (s_to_t_disparity, t_to_s_disparity),
+    "linear": (s_to_t_linear, t_to_s_linear),
+}
+
+
+# ---------------------------------------------------------------------------
+# samplers
+# ---------------------------------------------------------------------------
+
+
+def uniform_bins(key, n_rays: int, n_samples: int, stratified: bool = True):
+    """[R, S+1] stratified bin edges in s-space."""
+    edges = jnp.linspace(0.0, 1.0, n_samples + 1)
+    edges = jnp.broadcast_to(edges, (n_rays, n_samples + 1))
+    if stratified and key is not None:
+        # jitter interior edges within half a bin each way
+        delta = 1.0 / n_samples
+        noise = jax.random.uniform(key, (n_rays, n_samples + 1), minval=-0.5, maxval=0.5)
+        noise = noise.at[:, 0].set(0.0).at[:, -1].set(0.0)
+        edges = edges + noise * delta
+    return edges
+
+
+def sample_pdf(key, s_edges, weights, n_samples: int, stratified: bool = True,
+               histogram_padding: float = 0.01):
+    """Inverse-CDF resampling of a weight histogram (static shapes).
+
+    Args:
+      s_edges: [R, B+1] existing bin edges in s-space.
+      weights: [R, B] rendering weights of those bins.
+      n_samples: number of NEW bins to draw -> returns [R, n_samples+1] edges.
+
+    Mirrors nerfstudio's PDFSampler semantics [upstream] including histogram
+    padding for stability.
+    """
+    R = weights.shape[0]
+    weights = weights + histogram_padding
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.concatenate([jnp.zeros((R, 1)), jnp.cumsum(pdf, axis=-1)], axis=-1)
+    cdf = jnp.minimum(cdf, 1.0)
+    cdf = cdf.at[:, -1].set(1.0)  # exact upper edge
+
+    if stratified and key is not None:
+        u = (jnp.arange(n_samples + 1) + jax.random.uniform(
+            key, (R, n_samples + 1))) / (n_samples + 1)
+        u = jnp.sort(u, axis=-1)
+    else:
+        u = jnp.broadcast_to(jnp.linspace(0.0, 1.0, n_samples + 1), (R, n_samples + 1))
+
+    # searchsorted per ray: index of first cdf edge >= u
+    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    below = jnp.clip(inds - 1, 0, cdf.shape[-1] - 1)
+    above = jnp.clip(inds, 0, cdf.shape[-1] - 1)
+
+    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
+    s_below = jnp.take_along_axis(s_edges, below, axis=-1)
+    s_above = jnp.take_along_axis(s_edges, above, axis=-1)
+
+    denom = jnp.clip(cdf_above - cdf_below, 1e-8)
+    frac = jnp.clip((u - cdf_below) / denom, 0.0, 1.0)
+    new_edges = s_below + frac * (s_above - s_below)
+    # monotonicity can be violated by clamping at boundaries; enforce it
+    new_edges = jnp.sort(new_edges, axis=-1)
+    return jax.lax.stop_gradient(new_edges)
+
+
+# ---------------------------------------------------------------------------
+# compositing
+# ---------------------------------------------------------------------------
+
+
+def render_weights(densities, deltas):
+    """Rendering weights from volume densities.
+
+    Args:
+      densities: [R, S] non-negative densities at sample midpoints.
+      deltas: [R, S] metric lengths of each sample interval.
+
+    Returns:
+      (weights[R, S], transmittance[R, S]) with
+      w_i = T_i * (1 - exp(-sigma_i * delta_i)).
+    """
+    alpha_exp = densities * deltas
+    trans = jnp.exp(-jnp.concatenate(
+        [jnp.zeros_like(alpha_exp[:, :1]), jnp.cumsum(alpha_exp[:, :-1], axis=-1)],
+        axis=-1,
+    ))
+    alpha = 1.0 - jnp.exp(-alpha_exp)
+    return alpha * trans, trans
+
+
+def composite(weights, values, background=None):
+    """Weighted sum along samples: [R, S] x [R, S, C] -> [R, C]."""
+    out = jnp.sum(weights[..., None] * values, axis=-2)
+    if background is not None:
+        acc = jnp.sum(weights, axis=-1, keepdims=True)
+        out = out + (1.0 - acc) * background
+    return out
+
+
+def render_depth(weights, t_mid, eps: float = 1e-10):
+    """Expected (weight-normalized) ray distance, as nerfstudio's DepthRenderer."""
+    acc = jnp.sum(weights, axis=-1)
+    d = jnp.sum(weights * t_mid, axis=-1) / jnp.clip(acc, eps)
+    return jnp.clip(d, t_mid[..., 0], t_mid[..., -1])
+
+
+def render_accumulation(weights):
+    return jnp.sum(weights, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# regularization losses (mipnerf-360 family, as used by nerfacto)
+# ---------------------------------------------------------------------------
+
+
+def _outer_bounds(t0, t1, y1):
+    """For each target bin [t0], integrate histogram (t1, y1) that overlaps it.
+
+    Standard 'lossfun_outer' inner machinery [upstream mipnerf-360]: returns
+    the total mass of histogram 1 falling inside each bin of histogram 0.
+    """
+    cy1 = jnp.concatenate([jnp.zeros_like(y1[..., :1]), jnp.cumsum(y1, -1)], -1)
+
+    def per_ray(t0r, t1r, cy1r):
+        idx_lo = jnp.clip(jnp.searchsorted(t1r, t0r[:-1], side="right") - 1, 0, t1r.shape[-1] - 1)
+        idx_hi = jnp.clip(jnp.searchsorted(t1r, t0r[1:], side="left"), 0, t1r.shape[-1] - 1)
+        return cy1r[idx_hi] - cy1r[idx_lo]
+
+    return jax.vmap(per_ray)(t0, t1, cy1)
+
+
+def interlevel_loss(proposal_edges, proposal_weights, final_edges, final_weights):
+    """Histogram consistency loss ('interlevel' / proposal loss).
+
+    Penalizes proposal histograms that assign less mass than the final (nerf)
+    histogram over the same span. Reference weight 1.0
+    (nerf_vo/mapping/nerfstudio.py:71-82).
+    """
+    fw = jax.lax.stop_gradient(final_weights)
+    fe = jax.lax.stop_gradient(final_edges)
+    bound = _outer_bounds(fe, proposal_edges, proposal_weights)
+    clipped = jnp.clip(fw - bound, min=0.0)
+    return jnp.mean(clipped**2 / jnp.clip(fw, 1e-7))
+
+
+def distortion_loss(s_edges, weights):
+    """Mipnerf-360 distortion loss in s-space. Reference weight 0.002."""
+    s_mid = 0.5 * (s_edges[..., 1:] + s_edges[..., :-1])
+    ds = s_edges[..., 1:] - s_edges[..., :-1]
+    # pairwise term: sum_ij w_i w_j |s_i - s_j| via O(S) cumulative trick
+    w = weights
+    wm = w * s_mid
+    cw = jnp.cumsum(w, axis=-1)
+    cwm = jnp.cumsum(wm, axis=-1)
+    # loss_inter = 2 * sum_i w_i * (s_i * cw_{i-1} - cwm_{i-1})
+    cw_prev = jnp.concatenate([jnp.zeros_like(cw[..., :1]), cw[..., :-1]], -1)
+    cwm_prev = jnp.concatenate([jnp.zeros_like(cwm[..., :1]), cwm[..., :-1]], -1)
+    loss_inter = 2.0 * jnp.sum(w * (s_mid * cw_prev - cwm_prev), axis=-1)
+    loss_intra = jnp.sum(w**2 * ds, axis=-1) / 3.0
+    return jnp.mean(loss_inter + loss_intra)

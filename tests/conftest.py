@@ -7,7 +7,7 @@ Must run before the first `import jax` anywhere in the test session.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force-override the env's axon/TPU default
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,6 +16,8 @@ if "xla_force_host_platform_device_count" not in flags:
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 # Test-side reference computations (plain @ / einsum in asserts) must be exact.
 # Library code pins its own precision where it matters.

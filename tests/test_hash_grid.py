@@ -1,0 +1,93 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_vo_tpu.ops import hash_grid
+from nerf_vo_tpu.ops.hash_grid import HashGridConfig
+
+CFG = HashGridConfig(
+    n_levels=4, features_per_level=2, log2_table_size=10,
+    base_resolution=4, max_resolution=32,
+)
+
+
+def _np_reference_encode(tables, x, cfg):
+    """Independent numpy trilinear hash-grid implementation."""
+    primes = np.array([1, 2654435761, 805459861], dtype=np.uint64)
+    out = np.zeros((x.shape[0], cfg.n_levels, cfg.features_per_level), np.float32)
+    for l, res in enumerate(cfg.resolutions):
+        xs = np.clip(x, 0, 1) * res
+        x0 = np.floor(xs).astype(np.int64)
+        frac = xs - x0
+        for corner in range(8):
+            off = np.array([corner & 1, (corner >> 1) & 1, (corner >> 2) & 1])
+            c = x0 + off
+            h = (
+                (c[:, 0].astype(np.uint64) * primes[0])
+                ^ (c[:, 1].astype(np.uint64) * primes[1])
+                ^ (c[:, 2].astype(np.uint64) * primes[2])
+            ) & np.uint64(0xFFFFFFFF)
+            idx = (h % np.uint64(cfg.table_size)).astype(np.int64) + l * cfg.table_size
+            w = np.prod(np.where(off == 1, frac, 1 - frac), axis=-1)
+            out[:, l] += tables[:, idx].T * w[:, None]
+    return out.reshape(x.shape[0], -1)
+
+
+def test_resolutions_geometric():
+    cfg = HashGridConfig(n_levels=16, base_resolution=16, max_resolution=2048)
+    res = cfg.resolutions
+    assert res[0] == 16
+    assert res[-1] == 2048
+    assert all(res[i] < res[i + 1] for i in range(15))
+
+
+def test_encode_matches_numpy_reference(rng):
+    key = jax.random.PRNGKey(0)
+    tables = hash_grid.init_tables(key, CFG)
+    x = jnp.asarray(rng.uniform(0, 1, size=(64, 3)), jnp.float32)
+    got = hash_grid.hash_encode(tables, x, CFG)
+    want = _np_reference_encode(np.asarray(tables), np.asarray(x), CFG)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    assert got.shape == (64, CFG.output_dim)
+
+
+def test_encode_batch_shapes():
+    tables = hash_grid.init_tables(jax.random.PRNGKey(0), CFG)
+    x = jnp.zeros((4, 5, 3))
+    out = hash_grid.hash_encode(tables, x, CFG)
+    assert out.shape == (4, 5, CFG.output_dim)
+
+
+def test_gradient_flows_to_tables(rng):
+    tables = hash_grid.init_tables(jax.random.PRNGKey(0), CFG)
+    x = jnp.asarray(rng.uniform(0, 1, size=(16, 3)), jnp.float32)
+
+    def f(t):
+        return jnp.sum(hash_grid.hash_encode(t, x, CFG) ** 2)
+
+    g = jax.grad(f)(tables)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_gradient_wrt_positions(rng):
+    tables = hash_grid.init_tables(jax.random.PRNGKey(0), CFG)
+    x = jnp.asarray(rng.uniform(0.1, 0.9, size=(8, 3)), jnp.float32)
+    g = jax.grad(lambda p: jnp.sum(hash_grid.hash_encode(tables, p, CFG)))(x)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_contract():
+    x = jnp.asarray([[0.3, 0.0, 0.0], [10.0, 0.0, 0.0], [0.0, 0.0, -100.0]])
+    c = hash_grid.contract(x)
+    np.testing.assert_allclose(c[0], [0.3, 0, 0], atol=1e-6)
+    assert np.abs(np.asarray(c)).max() < 2.0
+    np.testing.assert_allclose(c[1, 0], 2.0 - 1.0 / 10.0, atol=1e-5)
+    unit = hash_grid.contract_to_unit_cube(x)
+    assert (np.asarray(unit) >= 0).all() and (np.asarray(unit) <= 1).all()
+
+
+def test_normalize_to_unit_cube():
+    x = jnp.asarray([[-2.0, 0.0, 2.0]])
+    out = hash_grid.normalize_to_unit_cube(x, -2.0, 2.0)
+    np.testing.assert_allclose(out, [[0.0, 0.5, 1.0]], atol=1e-6)

@@ -1,0 +1,132 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_vo_tpu.core import cameras, conventions, lie
+from nerf_vo_tpu.mapping import keyframe_buffer as kb
+from nerf_vo_tpu.mapping.trainer import MappingTrainer, TrainerConfig
+from nerf_vo_tpu.models.nerfacto import NerfactoConfig, NerfactoModel
+
+H, W, K = 16, 24, 8
+INTR = jnp.asarray([20.0, 20.0, W / 2, H / 2])
+
+
+def _packet(n, rng, base=0.0, smooth=False):
+    c2w = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+    c2w[:, 2, 3] = base + np.arange(n)  # cameras along +z
+    if smooth:
+        color = np.tile(
+            rng.uniform(0.2, 0.8, (n, 1, 1, 3)).astype(np.float32), (1, H, W, 1)
+        )
+    else:
+        color = rng.uniform(0, 1, (n, H, W, 3)).astype(np.float32)
+    return {
+        "intrinsics": jnp.tile(INTR[None], (n, 1)),
+        "c2w": jnp.asarray(c2w),
+        "color": jnp.asarray(color),
+        "depth": jnp.full((n, H, W), 2.0),
+        "normal": jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (n, H, W, 1)),
+    }
+
+
+def test_insert_and_gauge(rng):
+    buf = kb.create(K, H, W)
+    assert int(buf.num_active) == 0
+    pkt = _packet(3, rng, base=5.0)
+    buf = kb.insert(buf, jnp.arange(3), pkt)
+    assert int(buf.num_active) == 3
+    # first keyframe pinned to identity gauge
+    np.testing.assert_allclose(buf.c2w[0], np.eye(4), atol=1e-5)
+    # relative pose between kf0 and kf1 preserved
+    rel = np.linalg.inv(np.asarray(buf.c2w[0])) @ np.asarray(buf.c2w[1])
+    rel_orig = np.linalg.inv(np.asarray(pkt["c2w"][0])) @ np.asarray(pkt["c2w"][1])
+    np.testing.assert_allclose(rel, rel_orig, atol=1e-5)
+    # second insert must not change the gauge
+    norm0 = np.asarray(buf.normalization)
+    buf = kb.insert(buf, jnp.asarray([3]), _packet(1, rng, base=9.0))
+    np.testing.assert_allclose(buf.normalization, norm0)
+    assert int(buf.num_active) == 4
+
+
+def test_insert_update_in_place(rng):
+    buf = kb.create(K, H, W)
+    buf = kb.insert(buf, jnp.arange(2), _packet(2, rng))
+    new_color = jnp.zeros((1, H, W, 3))
+    pkt = _packet(1, rng)
+    pkt["color"] = new_color
+    buf2 = kb.insert(buf, jnp.asarray([1]), pkt)
+    np.testing.assert_allclose(buf2.color[1], 0.0)
+    assert int(buf2.num_active) == 2
+
+
+def test_sample_ray_batch(rng):
+    buf = kb.create(K, H, W)
+    buf = kb.insert(buf, jnp.arange(4), _packet(4, rng))
+    batch = kb.sample_ray_batch(buf, None, jax.random.PRNGKey(0), 256)
+    assert batch["origins"].shape == (256, 3)
+    assert batch["directions"].shape == (256, 3)
+    assert batch["rgb"].shape == (256, 3)
+    # only active frames sampled
+    assert int(jnp.max(batch["camera_indices"])) < 4
+    # unit directions
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(batch["directions"]), axis=-1), 1.0, atol=1e-5
+    )
+    # euclidean depth >= z depth
+    assert np.all(np.asarray(batch["depth"]) >= 2.0 - 1e-5)
+    # rgb values actually come from the buffer
+    f, = np.where(np.asarray(batch["camera_indices"]) == 1)[:1]
+    assert np.isfinite(np.asarray(batch["rgb"])).all()
+
+
+def test_sample_with_pose_deltas(rng):
+    buf = kb.create(K, H, W)
+    buf = kb.insert(buf, jnp.arange(2), _packet(2, rng))
+    deltas = jnp.zeros((K, 6)).at[:, 0].set(0.5)  # shift all cams +x
+    b0 = kb.sample_ray_batch(buf, None, jax.random.PRNGKey(1), 32)
+    b1 = kb.sample_ray_batch(buf, deltas, jax.random.PRNGKey(1), 32)
+    np.testing.assert_allclose(
+        np.asarray(b1["origins"][:, 0]) - np.asarray(b0["origins"][:, 0]),
+        0.5,
+        atol=1e-5,
+    )
+
+
+TINY_MODEL = NerfactoConfig(
+    near=0.1, far=10.0, num_proposal_samples=(16,), num_nerf_samples=8,
+    num_images=K, log2_hashmap_size=10, max_res=64,
+)
+
+
+def test_trainer_step_runs_and_descends(rng):
+    model = NerfactoModel(TINY_MODEL)
+    trainer = MappingTrainer(
+        model, TrainerConfig(rays_per_batch=128, max_iterations=64), K
+    )
+    state = trainer.init(jax.random.PRNGKey(0))
+    buf = kb.create(K, H, W)
+    buf = kb.insert(buf, jnp.arange(4), _packet(4, rng, smooth=True))
+
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for _ in range(40):
+        key, sub = jax.random.split(key)
+        state, metrics = trainer.train_step(state, buf, sub)
+        losses.append(float(metrics["rgb_loss"]))
+    assert int(state.step) == 40
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-10:]) < 0.5 * np.mean(losses[:5])
+    # pose deltas: anchor frozen, others updated
+    np.testing.assert_allclose(state.pose_deltas[0], 0.0, atol=1e-8)
+    assert np.abs(np.asarray(state.pose_deltas[1:4])).sum() > 0
+
+
+def test_render_image_shapes(rng):
+    model = NerfactoModel(TINY_MODEL)
+    trainer = MappingTrainer(model, TrainerConfig(rays_per_batch=64), K)
+    state = trainer.init(jax.random.PRNGKey(0))
+    out = trainer.render_image(state, jnp.eye(4), INTR, H, W, chunk=128)
+    assert out["rgb"].shape == (H, W, 3)
+    assert out["depth"].shape == (H, W)
+    assert np.isfinite(np.asarray(out["rgb"])).all()
