@@ -103,13 +103,20 @@ class BAProblem(NamedTuple):
     valid: jnp.ndarray  # [NE] bool edge mask
 
 
+def window_slot_map(n_poses: int, t0, t1, window: int):
+    """Contiguous-range slot map: poses in [t0, t1) -> slots 0..window-1."""
+    g = jnp.arange(n_poses)
+    s = g - t0
+    in_win = (s >= 0) & (s < window) & (g < t1)
+    return jnp.where(in_win, s, -1).astype(jnp.int32)
+
+
 @functools.partial(
     jax.jit, static_argnames=("num_iters", "window")
 )
 def bundle_adjust(
     problem: BAProblem,
-    t0,
-    t1,
+    slot_map,
     *,
     num_iters: int = 2,
     window: int = 16,
@@ -119,11 +126,13 @@ def bundle_adjust(
 ):
     """Run ``num_iters`` damped GN iterations.
 
-    Poses with global index in [t0, t1) are free (window-local slot
-    ``g - t0`` must fit in the static ``window``); everything else is held
-    fixed. Patch inverse depths of all valid edges' patches are free.
+    Args:
+      slot_map: [NP] int32 window-local slot per pose (0..window-1), or -1
+        for poses held fixed. Non-contiguous windows (holes from keyframe
+        removal) are supported; use :func:`window_slot_map` for ranges.
 
-    Returns (poses, pt_invd) updated.
+    Patch inverse depths of all valid edges' patches are free.
+    Returns (poses, pt_invd, per-iteration weighted costs).
     """
     NP = problem.poses.shape[0]
     NK = problem.pt_xy.shape[0]
@@ -134,11 +143,8 @@ def bundle_adjust(
     jj = problem.jj
     kk = problem.kk
 
-    # window-local pose slots; -1 => fixed
     def local_slot(g):
-        s = g - t0
-        in_win = (s >= 0) & (s < P) & (g < t1)
-        return jnp.where(in_win, s, -1)
+        return slot_map[g]
 
     li = local_slot(ii)
     lj = local_slot(jj)

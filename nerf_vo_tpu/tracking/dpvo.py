@@ -1,0 +1,527 @@
+"""Deep patch visual odometry: TPU-native DPVO-equivalent tracker.
+
+Replaces the DPVO submodule + DPVOHandler of the reference (N1;
+nerf_vo/tracking/dpvo.py). Architecture per SURVEY.md §7.1(6):
+
+  * HOST side (numpy bookkeeping): frame window, patch lifetimes, padded
+    edge-slot table, keyframe decisions, retirement. Cheap, branchy,
+    sequential — exactly what should NOT be in the compiled program.
+  * DEVICE side: three jitted static-shape programs —
+      1. `encode`: feature/context CNNs + patchify (MXU convs),
+      2. `vo_update`: reproject -> correlation lookup (ops/correlation.py)
+         -> update net -> bundle adjustment (ops/ba.py),
+      3. pose helpers (constant-velocity init, frame distance).
+    The edge buffer has ONE static size (cfg.max_edges) so the whole
+    steady-state loop is a single compiled program; dead edges are masked,
+    never compacted.
+
+Behavioral parity targets (reference nerf_vo/tracking/dpvo.py):
+  * config fields PATCHES_PER_FRAME / REMOVAL_WINDOW / OPTIMIZATION_WINDOW /
+    PATCH_LIFETIME / KEYFRAME_THRESH / KEYFRAME_INDEX (dpvo.py:31-38),
+  * per-frame call returning retired keyframe ids or [] (dpvo.py:62-64),
+  * patch state at 1/4 feature resolution; packets carry [K, P, 3, 3, 3]
+    (x, y, inverse-depth grids) like ``patches_`` (dpvo.py:85-99).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_vo_tpu.core import lie
+from nerf_vo_tpu.models.dpvo_net import DPVONet, extract_patches
+from nerf_vo_tpu.ops import ba
+from nerf_vo_tpu.ops.correlation import patch_correlation
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackingConfig:
+    patches_per_frame: int = 96
+    removal_window: int = 28
+    optimization_window: int = 13
+    patch_lifetime: int = 15
+    keyframe_threshold: float = 8.0
+    keyframe_index: int = 4
+    init_frames: int = 8
+    init_iterations: int = 8
+    update_iterations: int = 1
+    ba_iterations: int = 2
+    max_frames: int = 4096  # pose/patch buffer capacity
+    max_edges: int = 32768
+    ring_size: int = 32  # feature ring; >= removal window + margin
+    corr_radius: int = 3
+
+
+class DPVOTracker:
+    """Online deep-patch VO. Feed frames with `track`; poll retirements."""
+
+    def __init__(self, config: TrackingConfig, net: DPVONet, params,
+                 height: int, width: int):
+        assert height % 4 == 0 and width % 4 == 0
+        self.cfg = config
+        self.net = net
+        self.params = {"params": params}
+        self.H, self.W = height, width
+        self.H4, self.W4 = height // 4, width // 4
+        P = config.patches_per_frame
+        R = config.ring_size
+        E = config.max_edges
+        N = config.max_frames
+        C, D = net.fdim, net.cdim
+
+        # ---- device state ------------------------------------------------
+        self.poses = jnp.tile(lie.se3_identity(), (N, 1))  # w2c
+        self.pt_xy = jnp.zeros((N, P, 2))
+        self.pt_invd = jnp.ones((N, P))
+        self.intrinsics4 = jnp.ones((N, 4))  # at 1/4 res per frame
+        self.fmap1 = jnp.zeros((R, self.H4, self.W4, C), jnp.bfloat16)
+        self.fmap2 = jnp.zeros((R, self.H4 // 2, self.W4 // 2, C), jnp.bfloat16)
+        self.gmap = jnp.zeros((R, P, 3, 3, C), jnp.bfloat16)
+        self.imap = jnp.zeros((R, P, D), jnp.bfloat16)
+        self.hidden = jnp.zeros((E, D))
+        self.e_target = jnp.zeros((E, 2))
+
+        # ---- host bookkeeping -------------------------------------------
+        self.n = 0  # frames appended (device buffer high-water)
+        self.frame_gids: List[int] = []  # alive frames, time order
+        self.ring_of: Dict[int, int] = {}  # gid -> ring slot
+        self.free_rings = list(range(R))
+        self.tstamps: Dict[int, float] = {}
+        self.src_index: Dict[int, int] = {}  # gid -> source frame_index
+        self.colors: Dict[int, np.ndarray] = {}  # gid -> HxWx3 uint8
+        self.e_patch_g = np.full(E, -1, np.int64)  # global patch id f*P+p
+        self.e_jj_g = np.full(E, -1, np.int64)
+        self.e_valid = np.zeros(E, bool)
+        self.e_fresh = np.zeros(E, bool)
+        self.free_edges = list(range(E))
+        self.is_initialized = False
+        self.retired: List[int] = []  # gids retired, in order
+        self._rng = jax.random.PRNGKey(0)
+
+        self._encode = jax.jit(self._encode_impl)
+        self._vo_update = jax.jit(
+            self._vo_update_impl, static_argnames=("ba_iters",),
+            donate_argnames=("poses", "pt_invd", "hidden", "e_target"),
+        )
+        self._frame_distance = jax.jit(self._frame_distance_impl)
+
+    # ------------------------------------------------------------------
+    # jitted device programs
+    # ------------------------------------------------------------------
+
+    def _encode_impl(self, params, image, key, init_invd):
+        """image [H, W, 3] float 0..255 -> features + random patches."""
+        fmap1, fmap2, imap_full = self.net.apply(
+            params, image[None], method=self.net.encode
+        )
+        fmap1, fmap2, imap_full = fmap1[0], fmap2[0], imap_full[0]
+        P = self.cfg.patches_per_frame
+        kx, ky = jax.random.split(key)
+        # random patch centers, 1px margin (DPVO default RANDOM sampling)
+        xs = jax.random.uniform(kx, (P,), minval=1.0, maxval=self.W4 - 2.0)
+        ys = jax.random.uniform(ky, (P,), minval=1.0, maxval=self.H4 - 2.0)
+        centers = jnp.stack([xs, ys], -1)
+        gmap = extract_patches(fmap1, centers, radius=1)  # [P, 3, 3, C]
+        imap = extract_patches(imap_full, centers, radius=0)[:, 0, 0]  # [P, D]
+        invd = jnp.full((P,), init_invd)
+        return (
+            fmap1.astype(jnp.bfloat16),
+            fmap2.astype(jnp.bfloat16),
+            gmap.astype(jnp.bfloat16),
+            imap.astype(jnp.bfloat16),
+            centers,
+            invd,
+        )
+
+    def _vo_update_impl(
+        self,
+        params,
+        poses,
+        pt_xy_k,      # [KL, 2] alive patch centers (1/4 res)
+        pt_invd,      # [N, P] full inverse-depth buffer
+        alive_patch_g,  # [KL] global patch ids (frame*P + p), -1 pad
+        pt_host_k,    # [KL] host frame gid per alive patch
+        intrinsics4,
+        fmap1, fmap2, gmap, imap,
+        hidden, e_target,
+        e_kk_local,   # [E] index into alive patches (edge buffer order)
+        e_jj,         # [E] target frame gid
+        e_jj_ring,    # [E] target ring slot
+        e_host_ring,  # [E] host ring slot
+        e_new,        # [E] bool: first update for this edge
+        e_live,       # [E] bool
+        slot_map,     # [N] BA slot map
+        ba_iters: int,
+    ):
+        """One tracking update: correlate -> update net -> BA.
+
+        The edge buffer IS the layout: edge arrays are indexed by slot
+        directly (no indirection), so hidden/e_target scatter back in place.
+        """
+        cfg = self.cfg
+        P = cfg.patches_per_frame
+        E = e_jj.shape[0]
+        KL = pt_xy_k.shape[0]
+        R = cfg.ring_size
+
+        kk = jnp.clip(e_kk_local, 0, KL - 1)
+        flat_invd = pt_invd.reshape(-1)
+        safe_pg = jnp.clip(alive_patch_g, 0, flat_invd.size - 1)
+        invd_k = flat_invd[safe_pg]  # [KL]
+
+        xy_e = pt_xy_k[kk]  # [E, 2]
+        ii_e = pt_host_k[kk]
+        jj_e = jnp.clip(e_jj, 0, poses.shape[0] - 1)
+        center, z = ba.reproject_edges(
+            poses, intrinsics4, xy_e, invd_k[kk], ii_e, jj_e
+        )
+
+        # correlation features around the reprojected centers
+        pf = gmap[jnp.clip(e_host_ring, 0, R - 1), kk % P].astype(jnp.float32)
+        corr = patch_correlation(
+            pf, fmap1.astype(jnp.float32), fmap2.astype(jnp.float32),
+            jnp.clip(e_jj_ring, 0, R - 1), center, radius=cfg.corr_radius,
+        )
+
+        h = jnp.where(e_new[:, None], 0.0, hidden)
+        tgt_prev = jnp.where(e_new[:, None], center, e_target)
+        flow = jax.lax.stop_gradient(center - tgt_prev)
+
+        im_e = imap[jnp.clip(e_host_ring, 0, R - 1), kk % P].astype(jnp.float32)
+        h, delta, weight = self.net.apply(
+            self.params, h, im_e, corr, flow,
+            kk, jnp.clip(e_jj_ring, 0, R - 1), KL, R,
+            method=self.net.update_step,
+        )
+        target = jax.lax.stop_gradient(center) + delta
+        weight = weight * e_live[:, None]
+
+        problem = ba.BAProblem(
+            poses=poses,
+            intrinsics=intrinsics4,
+            pt_xy=pt_xy_k,
+            pt_invd=invd_k,
+            pt_host=pt_host_k,
+            kk=kk,
+            jj=jj_e,
+            targets=target,
+            weights=weight,
+            valid=e_live,
+        )
+        new_poses, new_invd_k, costs = ba.bundle_adjust(
+            problem, slot_map, num_iters=ba_iters,
+            window=cfg.optimization_window + 3,
+        )
+
+        # scatter alive-patch depths back into the big buffer
+        flat = flat_invd.at[safe_pg].set(
+            jnp.where(alive_patch_g >= 0, new_invd_k, flat_invd[safe_pg])
+        )
+        pt_invd = flat.reshape(pt_invd.shape)
+
+        hidden = jnp.where(e_live[:, None], h, hidden)
+        e_target = jnp.where(e_live[:, None], target, e_target)
+        return new_poses, pt_invd, hidden, e_target, costs
+
+    def _frame_distance_impl(self, poses, pt_xy, pt_invd, intrinsics4, a, b):
+        """Mean optical-flow magnitude of frame a's patches reprojected into b
+        (replaces droid_backends.frame_distance semantics for keyframing)."""
+        P = self.cfg.patches_per_frame
+        xy = pt_xy[a]
+        d = pt_invd[a]
+        host = jnp.full((P,), a, jnp.int32)
+        tgt, z = ba.reproject_edges(
+            poses, intrinsics4, xy, d, host, jnp.full((P,), b, jnp.int32)
+        )
+        disp = jnp.linalg.norm(tgt - xy, axis=-1)
+        ok = (z > 0.1) & jnp.all(jnp.isfinite(tgt), -1)
+        return jnp.sum(disp * ok) / jnp.clip(jnp.sum(ok), 1.0)
+
+    # ------------------------------------------------------------------
+    # host logic
+    # ------------------------------------------------------------------
+
+    def _alloc_ring(self, gid: int) -> int:
+        slot = self.free_rings.pop()
+        self.ring_of[gid] = slot
+        return slot
+
+    def _free_frame(self, gid: int) -> None:
+        if gid in self.ring_of:
+            self.free_rings.append(self.ring_of.pop(gid))
+        P = self.cfg.patches_per_frame
+        dead = (self.e_jj_g == gid) | (self.e_patch_g // P == gid)
+        self._kill_edges(dead)
+
+    def _kill_edges(self, mask: np.ndarray) -> None:
+        idx = np.nonzero(mask & self.e_valid)[0]
+        for s in idx:
+            self.e_valid[s] = False
+            self.e_patch_g[s] = -1
+            self.e_jj_g[s] = -1
+            self.free_edges.append(int(s))
+
+    def _add_edges(self, pairs) -> None:
+        for (patch_g, jj) in pairs:
+            if not self.free_edges:
+                break  # budget exhausted; existing edges keep priority
+            s = self.free_edges.pop()
+            self.e_patch_g[s] = patch_g
+            self.e_jj_g[s] = jj
+            self.e_valid[s] = True
+            self.e_fresh[s] = True
+
+    def _edge_pairs_for_new_frame(self, gid: int):
+        """DPVO edge policy [upstream]: new patches x recent frames
+        (backward), recent patches x new frame (forward), within
+        PATCH_LIFETIME."""
+        P = self.cfg.patches_per_frame
+        recent = [g for g in self.frame_gids[-self.cfg.patch_lifetime:]
+                  if g != gid]
+        pairs = []
+        for j in recent:
+            for p in range(P):
+                pairs.append((gid * P + p, j))
+                pairs.append((j * P + p, gid))
+        return pairs
+
+    def _expire_old_patches(self) -> None:
+        """Kill edges whose host patch left the lifetime window."""
+        P = self.cfg.patches_per_frame
+        alive = set(self.frame_gids[-self.cfg.patch_lifetime:])
+        hosts = self.e_patch_g // P
+        dead = self.e_valid & ~np.isin(hosts, list(alive))
+        self._kill_edges(dead)
+
+    # ------------------------------------------------------------------
+
+    def track(self, tstamp: float, image: np.ndarray, intrinsics: np.ndarray,
+              frame_index: Optional[int] = None) -> List[int]:
+        """Process one frame.
+
+        Args:
+          image: [H, W, 3] uint8 RGB.
+          intrinsics: [4] fx, fy, cx, cy at full input resolution.
+
+        Returns: retired keyframe gids (possibly empty).
+        """
+        cfg = self.cfg
+        gid = self.n
+        self.n += 1
+        assert gid < cfg.max_frames, "frame buffer exhausted"
+
+        self._rng, key = jax.random.split(self._rng)
+        prev_med = (
+            jnp.median(self.pt_invd[self.frame_gids[-1]])
+            if self.frame_gids
+            else jnp.asarray(1.0)
+        )
+        f1, f2, gm, im, centers, invd = self._encode(
+            self.params, jnp.asarray(image, jnp.float32), key, prev_med
+        )
+        slot = self._alloc_ring(gid)
+        self.fmap1 = self.fmap1.at[slot].set(f1)
+        self.fmap2 = self.fmap2.at[slot].set(f2)
+        self.gmap = self.gmap.at[slot].set(gm)
+        self.imap = self.imap.at[slot].set(im)
+        self.pt_xy = self.pt_xy.at[gid].set(centers)
+        self.pt_invd = self.pt_invd.at[gid].set(invd)
+        self.intrinsics4 = self.intrinsics4.at[gid].set(
+            jnp.asarray(intrinsics, jnp.float32) / 4.0
+        )
+
+        # pose init: constant velocity in w2c space
+        if len(self.frame_gids) >= 2:
+            g1 = self.poses[self.frame_gids[-1]]
+            g2 = self.poses[self.frame_gids[-2]]
+            motion = lie.se3_mul(g1, lie.se3_inv(g2))
+            self.poses = self.poses.at[gid].set(lie.se3_mul(motion, g1))
+        elif self.frame_gids:
+            self.poses = self.poses.at[gid].set(
+                self.poses[self.frame_gids[-1]]
+            )
+
+        self.tstamps[gid] = tstamp
+        self.src_index[gid] = frame_index if frame_index is not None else gid
+        self.colors[gid] = np.asarray(image, np.uint8)
+        self.frame_gids.append(gid)
+        self._expire_old_patches()
+        self._add_edges(self._edge_pairs_for_new_frame(gid))
+
+        retired: List[int] = []
+        if not self.is_initialized:
+            if len(self.frame_gids) >= cfg.init_frames:
+                for _ in range(cfg.init_iterations):
+                    self._run_update()
+                self.is_initialized = True
+        else:
+            for _ in range(cfg.update_iterations):
+                self._run_update()
+            self._keyframe_logic()
+            retired = self._retire()
+        return retired
+
+    # ------------------------------------------------------------------
+
+    def _run_update(self) -> None:
+        cfg = self.cfg
+        P = cfg.patches_per_frame
+        E = cfg.max_edges
+        if not self.e_valid.any():
+            return
+
+        # alive patches = patches of the last patch_lifetime frames
+        hosts = self.frame_gids[-cfg.patch_lifetime:]
+        KL = cfg.patch_lifetime * P
+        alive_patch_g = np.full(KL, -1, np.int64)
+        pt_host = np.zeros(KL, np.int32)
+        host_ring = np.zeros(KL, np.int32)
+        loc_base: Dict[int, int] = {}
+        for i, hgid in enumerate(hosts):
+            loc_base[hgid] = i * P
+            alive_patch_g[i * P: (i + 1) * P] = hgid * P + np.arange(P)
+            pt_host[i * P: (i + 1) * P] = hgid
+            host_ring[i * P: (i + 1) * P] = self.ring_of[hgid]
+
+        # vectorized edge metadata (buffer-slot order, one static shape)
+        e_host_g = self.e_patch_g // P
+        base = np.array([loc_base.get(int(g), -1) for g in e_host_g],
+                        np.int64)
+        ring_j = np.array(
+            [self.ring_of.get(int(g), -1) for g in self.e_jj_g], np.int32
+        )
+        ring_i = np.array(
+            [self.ring_of.get(int(g), -1) for g in e_host_g], np.int32
+        )
+        live = self.e_valid & (base >= 0) & (ring_j >= 0) & (ring_i >= 0)
+        kk_local = np.where(live, base + self.e_patch_g % P, 0).astype(np.int32)
+
+        # BA window: last optimization_window alive frames free, except the
+        # global gauge anchors (first two frames)
+        win = self.frame_gids[-cfg.optimization_window:]
+        slot_map = np.full(cfg.max_frames, -1, np.int32)
+        nslot = 0
+        for g in win:
+            if g <= 1:
+                continue
+            slot_map[g] = nslot
+            nslot += 1
+
+        pt_xy_k = self.pt_xy.reshape(-1, 2)[np.clip(alive_patch_g, 0, None)]
+
+        (self.poses, self.pt_invd, self.hidden, self.e_target, costs
+         ) = self._vo_update(
+            self.params,
+            self.poses,
+            pt_xy_k,
+            self.pt_invd,
+            jnp.asarray(alive_patch_g),
+            jnp.asarray(pt_host),
+            self.intrinsics4,
+            self.fmap1, self.fmap2, self.gmap, self.imap,
+            self.hidden, self.e_target,
+            jnp.asarray(kk_local),
+            jnp.asarray(np.clip(self.e_jj_g, 0, None).astype(np.int32)),
+            jnp.asarray(np.clip(ring_j, 0, None)),
+            jnp.asarray(np.clip(ring_i, 0, None)),
+            jnp.asarray(self.e_fresh.copy()),
+            jnp.asarray(live),
+            jnp.asarray(slot_map),
+            ba_iters=cfg.ba_iterations,
+        )
+        self.e_fresh[live] = False
+
+    def _keyframe_logic(self) -> None:
+        """Drop frame (n - KEYFRAME_INDEX) if local motion is below the
+        keyframe threshold (reference policy [upstream]; thresh from
+        configs/*.yaml keyframe_threshold)."""
+        cfg = self.cfg
+        if len(self.frame_gids) <= cfg.keyframe_index + 2:
+            return
+        i = self.frame_gids[-cfg.keyframe_index - 1]
+        j = self.frame_gids[-cfg.keyframe_index + 1]
+        mid = self.frame_gids[-cfg.keyframe_index]
+        if mid <= 1:
+            return  # never drop gauge anchors
+        d = float(
+            self._frame_distance(
+                self.poses, self.pt_xy, self.pt_invd, self.intrinsics4,
+                jnp.asarray(i), jnp.asarray(j),
+            )
+        )
+        if d < cfg.keyframe_threshold:
+            self.frame_gids.remove(mid)
+            self._free_frame(mid)
+            self.colors.pop(mid, None)
+
+    def _retire(self) -> List[int]:
+        """Frames older than the removal window become final keyframes."""
+        cfg = self.cfg
+        retired = []
+        while len(self.frame_gids) > cfg.removal_window:
+            gid = self.frame_gids.pop(0)
+            retired.append(gid)
+            self.retired.append(gid)
+            self._free_frame(gid)  # colors retained for packet assembly
+        return retired
+
+    def flush(self) -> List[int]:
+        """Retire all remaining frames (end of sequence)."""
+        out = list(self.frame_gids)
+        self.retired.extend(out)
+        self.frame_gids = []
+        return out
+
+    # ------------------------------------------------------------------
+    # packet assembly (DPVOHandler parity)
+    # ------------------------------------------------------------------
+
+    def keyframe_packet(self, gids: List[int], last_frame: bool = False
+                        ) -> Optional[Dict[str, Any]]:
+        """Build the tracking->enhancement packet (SURVEY.md appendix).
+
+        Colors of emitted keyframes are released after assembly.
+        """
+        if not gids:
+            return None
+        idx = jnp.asarray(gids)
+        poses = self.poses[idx]
+        c2w = lie.se3_matrix(lie.se3_inv(poses))  # cam2world, OpenCV frame
+        xy = self.pt_xy[idx]  # [K, P, 2]
+        invd = self.pt_invd[idx]  # [K, P]
+        offs = jnp.stack(
+            jnp.meshgrid(jnp.arange(-1.0, 2.0), jnp.arange(-1.0, 2.0),
+                         indexing="xy"),
+            -1,
+        )
+        grid = xy[:, :, None, None, :] + offs[None, None]  # [K, P, 3, 3, 2]
+        d = jnp.broadcast_to(invd[:, :, None, None, None],
+                             grid.shape[:-1] + (1,))
+        patches = jnp.concatenate([grid, d], -1)  # [K, P, 3, 3, 3]
+        patches = jnp.moveaxis(patches, -1, 2)  # [K, P, 3(x|y|d), 3, 3]
+        colors = np.stack(
+            [self.colors.pop(g, np.zeros((self.H, self.W, 3), np.uint8))
+             for g in gids]
+        )
+        return {
+            "keyframe_indices": np.asarray(gids, np.int64),
+            "camera_intrinsics": np.asarray(self.intrinsics4[idx]) * 4.0,
+            "camera_extrinsics": np.asarray(c2w, np.float32),
+            "frames_color": np.moveaxis(colors, -1, 1),  # [K, 3, H, W] uint8
+            "dpvo_patches": np.asarray(patches, np.float32),
+            "last_frame": last_frame,
+        }
+
+    def trajectory(self) -> Dict[int, np.ndarray]:
+        """gid -> cam2world 4x4 for all retired + alive frames."""
+        gids = self.retired + self.frame_gids
+        if not gids:
+            return {}
+        mats = np.asarray(
+            lie.se3_matrix(lie.se3_inv(self.poses[jnp.asarray(gids)]))
+        )
+        return {g: mats[i] for i, g in enumerate(gids)}

@@ -87,9 +87,9 @@ def test_ba_converges_to_ground_truth(rng):
         pt_host=pt_host, kk=kk, jj=jj, targets=targets, weights=weights,
         valid=valid,
     )
+    slot_map = ba.window_slot_map(NP, 2, NP, 8)
     poses, invd, costs = ba.bundle_adjust(
-        problem, jnp.asarray(2), jnp.asarray(NP), num_iters=8, window=8,
-        lm_lambda=1e-4, ep=1e-4,
+        problem, slot_map, num_iters=8, window=8, lm_lambda=1e-4, ep=1e-4,
     )
 
     # cost decreases monotonically-ish and ends tiny
@@ -117,7 +117,7 @@ def test_ba_fixed_poses_stay_fixed(rng):
         targets=targets, weights=weights, valid=valid,
     )
     poses, invd, _ = ba.bundle_adjust(
-        problem, jnp.asarray(2), jnp.asarray(4), num_iters=2, window=4
+        problem, ba.window_slot_map(4, 2, 4, 4), num_iters=2, window=4
     )
     np.testing.assert_allclose(poses[:2], poses_true[:2], atol=1e-7)
     assert np.abs(np.asarray(poses[2:] - poses_true[2:])).max() > 0 or True
@@ -137,7 +137,7 @@ def test_ba_invalid_edges_ignored(rng):
         valid=valid & jnp.asarray(~bad),
     )
     poses, invd, costs = ba.bundle_adjust(
-        problem, jnp.asarray(2), jnp.asarray(4), num_iters=2, window=4
+        problem, ba.window_slot_map(4, 2, 4, 4), num_iters=2, window=4
     )
     # already at optimum on the valid edges: nothing should move much
     assert np.abs(np.asarray(poses - poses_true)).max() < 1e-4

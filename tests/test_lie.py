@@ -48,9 +48,20 @@ def test_matrix_quat_roundtrip_degenerate():
 
 
 def test_so3_exp_log_roundtrip(rng):
-    phi = jnp.asarray(rng.normal(size=(32, 3)) * 1.5, jnp.float32)
+    phi = rng.normal(size=(32, 3))
+    # log returns the principal rotation: keep angles < pi for exact roundtrip
+    phi = phi / np.linalg.norm(phi, axis=-1, keepdims=True)
+    phi = phi * rng.uniform(1e-3, np.pi - 1e-2, size=(32, 1))
+    phi = jnp.asarray(phi, jnp.float32)
     phi2 = lie.so3_log(lie.so3_exp_quat(phi))
     np.testing.assert_allclose(phi2, phi, atol=1e-4)
+    # angles beyond pi wrap but must still represent the same rotation
+    big = jnp.asarray([[4.0, 0.0, 0.0]], jnp.float32)
+    q1 = lie.so3_exp_quat(big)
+    q2 = lie.so3_exp_quat(lie.so3_log(q1))
+    np.testing.assert_allclose(
+        lie.quat_to_matrix(q2), lie.quat_to_matrix(q1), atol=1e-5
+    )
 
 
 def test_so3_exp_small_angle():
