@@ -19,6 +19,9 @@ import numpy as np
 
 
 def main():
+    from nerf_vo_tpu.utils.jax_setup import setup_jax
+
+    setup_jax()
     from nerf_vo_tpu.mapping import keyframe_buffer as kb
     from nerf_vo_tpu.mapping.trainer import MappingTrainer, TrainerConfig
     from nerf_vo_tpu.models.nerfacto import NerfactoConfig, NerfactoModel

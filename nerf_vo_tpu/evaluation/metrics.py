@@ -91,11 +91,11 @@ def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> np.ndarray:
 
 
 def _filter2d(img: np.ndarray, kernel: np.ndarray) -> np.ndarray:
-    """'valid' 2D correlation per channel via FFT-free sliding windows."""
+    """'valid' 2D correlation via FFT-free sliding windows."""
     from numpy.lib.stride_tricks import sliding_window_view
 
-    win = sliding_window_view(img, kernel.shape, axes=(0, 1))
-    return np.einsum("ij...,ij->...", np.moveaxis(win, (-2, -1), (0, 1)), kernel)
+    win = sliding_window_view(img, kernel.shape, axis=(0, 1))
+    return np.einsum("hwij,ij->hw", win, kernel)
 
 
 def mssim(pred: np.ndarray, target: np.ndarray, max_value: float = 1.0) -> float:
@@ -200,6 +200,19 @@ def icp_align(source: np.ndarray, target: np.ndarray,
     return T
 
 
+def _nn_dist(ref: np.ndarray, query: np.ndarray) -> np.ndarray:
+    """NN distances query->ref: native C++ hash grid when built, else KDTree."""
+    try:
+        from nerf_vo_tpu import native
+
+        if native.available() and len(ref) > 0 and len(query) > 0:
+            return native.nn_distances(ref, query)
+    except Exception:
+        pass
+    d, _ = cKDTree(ref).query(query, k=1)
+    return d
+
+
 def mesh_3d_metrics(pred_points: np.ndarray, gt_points: np.ndarray,
                     threshold: float = 0.05,
                     refine_icp: bool = True) -> Dict[str, float]:
@@ -208,8 +221,8 @@ def mesh_3d_metrics(pred_points: np.ndarray, gt_points: np.ndarray,
     if refine_icp:
         T = icp_align(pred_points, gt_points)
         pred_points = (T[:3, :3] @ pred_points.T).T + T[:3, 3]
-    d_pred_to_gt, _ = cKDTree(gt_points).query(pred_points, k=1)
-    d_gt_to_pred, _ = cKDTree(pred_points).query(gt_points, k=1)
+    d_pred_to_gt = _nn_dist(gt_points, pred_points)
+    d_gt_to_pred = _nn_dist(pred_points, gt_points)
     precision = float(np.mean(d_pred_to_gt < threshold))
     recall = float(np.mean(d_gt_to_pred < threshold))
     f1 = (

@@ -61,6 +61,11 @@ class MappingTrainer:
         )
         self.cam_tx = optax.adam(cam_schedule, eps=1e-8)
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        # one cached jitted renderer (a fresh jit per call would recompile
+        # every render — measured minutes/frame under remote XLA compile)
+        self._render_chunk = jax.jit(
+            lambda params, o, d: self.model.render(params, o, d, None)
+        )
 
     def init(self, key) -> TrainState:
         params = self.model.init(key)
@@ -148,12 +153,9 @@ class MappingTrainer:
         xy = jnp.pad(xy, ((0, pad), (0, 0)))
         o, d, dn = cameras.generate_rays(c2w, intrinsics, xy, "opengl")
 
-        render = jax.jit(
-            lambda oo, dd: self.model.render(state.params, oo, dd, None)
-        )
         outs = []
         for i in range(0, n + pad, chunk):
-            r = render(o[i:i + chunk], d[i:i + chunk])
+            r = self._render_chunk(state.params, o[i:i + chunk], d[i:i + chunk])
             outs.append({k: r[k] for k in ("rgb", "depth", "accumulation")})
         cat = {k: jnp.concatenate([x[k] for x in outs])[:n] for k in outs[0]}
         rgb = cat["rgb"].reshape(height, width, 3)

@@ -46,6 +46,7 @@ class NerfactoConfig:
     interlevel_loss_mult: float = 1.0
     distortion_loss_mult: float = 0.002
     depth_loss_mult: float = 0.001
+    depth_loss_type: str = "ds_nerf"  # "ds_nerf" (nerfstudio path) | "l2" (NGP path)
     normal_loss_mult: float = 5e-6
     depth_sigma: float = 0.001
     orientation_loss_mult: float = 1e-4
@@ -247,14 +248,24 @@ class NerfactoModel:
         loss = loss + cfg.distortion_loss_mult * dist
 
         if "depth" in batch and cfg.depth_loss_mult > 0:
-            dloss = L.ds_nerf_depth_loss(
-                out["sample_weights"],
-                out["t_mid"],
-                out["deltas"],
-                batch["depth"],
-                cfg.depth_sigma,
-                mask=batch.get("depth_mask"),
-            )
+            if cfg.depth_loss_type == "l2":
+                # Instant-NGP / NeRF-SLAM covariance-weighted L2 depth loss
+                # (reference nerf_vo/mapping/instant_ngp.py:46-48)
+                dloss = L.depth_l2_loss(
+                    out["depth"],
+                    batch["depth"],
+                    depth_cov=batch.get("depth_cov"),
+                    mask=batch.get("depth_mask"),
+                )
+            else:
+                dloss = L.ds_nerf_depth_loss(
+                    out["sample_weights"],
+                    out["t_mid"],
+                    out["deltas"],
+                    batch["depth"],
+                    cfg.depth_sigma,
+                    mask=batch.get("depth_mask"),
+                )
             metrics["depth_loss"] = dloss
             loss = loss + cfg.depth_loss_mult * dloss
 

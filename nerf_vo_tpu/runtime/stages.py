@@ -1,0 +1,392 @@
+"""Pipeline stages: data -> tracking -> enhancement -> mapping.
+
+Single-process equivalents of the reference's four ProcessModule subclasses
+(nerf_vo/data/data_module.py, nerf_vo/tracking/tracking_module.py,
+nerf_vo/enhancement/enhancement_module.py, nerf_vo/mapping/mapping_module.py).
+The torch.multiprocessing queue pipeline collapses into direct calls driven
+by runtime/pipeline.py — JAX async dispatch overlaps host work with device
+compute, replacing process-level parallelism (SURVEY.md §5.8, §7.1(7)).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_vo_tpu.core import conventions
+from nerf_vo_tpu.data.datasets import make_dataset
+from nerf_vo_tpu.enhancement import alignment
+from nerf_vo_tpu.enhancement.omnidata import OmnidataEstimator
+from nerf_vo_tpu.mapping import keyframe_buffer as kb
+from nerf_vo_tpu.mapping.trainer import MappingTrainer, TrainerConfig
+from nerf_vo_tpu.models.dpvo_net import init_dpvo_params
+from nerf_vo_tpu.models.nerfacto import NerfactoConfig, NerfactoModel
+from nerf_vo_tpu.tracking.dpvo import DPVOTracker, TrackingConfig
+
+
+class DataStage:
+    """Frame source (reference DataModule)."""
+
+    def __init__(self, args):
+        self.dataset = make_dataset(args.dataset_name, args)
+        self.index = 0
+
+    def step(self) -> Optional[dict]:
+        if self.index >= len(self.dataset):
+            return None
+        frame = self.dataset[self.index]
+        self.index += 1
+        return frame
+
+    def __len__(self):
+        return len(self.dataset)
+
+
+class TrackingStage:
+    """Tracking dispatch (reference TrackingModule): 'dpvo' or 'droid-slam'."""
+
+    def __init__(self, args, params=None):
+        self.args = args
+        self.name = getattr(args, "tracking_module", "dpvo")
+        if self.name == "droid-slam":
+            self._init_droid(args, params)
+            self.frame_stride = getattr(args, "frame_stride", 1)
+            return
+        cfg = TrackingConfig(
+            patches_per_frame=getattr(args, "patches_per_frame", 96),
+            removal_window=getattr(args, "removal_window", 28),
+            optimization_window=getattr(args, "optimization_window", 13),
+            patch_lifetime=getattr(args, "patch_lifetime", 15),
+            keyframe_threshold=getattr(args, "keyframe_threshold", 8.0),
+            init_frames=getattr(args, "tracking_init_frames", 8),
+            max_edges=getattr(args, "tracking_max_edges", 32768),
+            ring_size=getattr(args, "tracking_ring_size", 32),
+            max_frames=getattr(args, "tracking_max_frames", 4096),
+        )
+        net, p = init_dpvo_params(
+            jax.random.PRNGKey(42), args.frame_height, args.frame_width,
+            corr_radius=cfg.corr_radius,
+        )
+        self.tracker = DPVOTracker(
+            cfg, net, params if params is not None else p,
+            args.frame_height, args.frame_width,
+        )
+        self.frame_stride = getattr(args, "frame_stride", 1)
+
+    def _init_droid(self, args, params):
+        import jax as _jax
+
+        from nerf_vo_tpu.models.droid_net import init_droid_params
+        from nerf_vo_tpu.tracking.droid_slam import (
+            DROIDSLAMTracker,
+            DroidConfig,
+        )
+
+        H = args.frame_height - args.frame_height % 8
+        W = args.frame_width - args.frame_width % 8
+        cfg = DroidConfig(
+            buffer_size=getattr(args, "num_keyframes", 512),
+            motion_threshold=getattr(args, "motion_threshold", 2.4),
+            keyframe_threshold=getattr(args, "keyframe_threshold", 4.0),
+            frontend_window=getattr(args, "tracking_frontend_window", 16),
+            max_factors=getattr(args, "tracking_max_edges", 48),
+            perform_global_ba=getattr(
+                args, "perform_global_bundle_adjustment", True
+            ),
+            compute_covariances=getattr(args, "compute_covariances", True),
+        )
+        net, p = init_droid_params(_jax.random.PRNGKey(42), H, W)
+        self.tracker = DROIDSLAMTracker(
+            cfg, net, params if params is not None else p, H, W
+        )
+
+    def step(self, frame: Optional[dict]) -> Optional[dict]:
+        if frame is None:
+            gids = self.tracker.flush()
+            return self.tracker.keyframe_packet(gids, last_frame=True)
+        ci = frame["camera_intrinsics"]
+        intr = np.asarray([ci["fx"], ci["fy"], ci["cx"], ci["cy"]], np.float32)
+        color = frame["frame_color"]
+        if self.name == "droid-slam":  # crop to a multiple of 8
+            color = color[: self.tracker.H, : self.tracker.W]
+        retired = self.tracker.track(
+            float(frame["frame_index"]), color, intr,
+            frame_index=frame["frame_index"],
+        )
+        if frame.get("last_frame"):
+            retired = retired + self.tracker.flush()
+            return self.tracker.keyframe_packet(retired, last_frame=True)
+        return self.tracker.keyframe_packet(retired)
+
+    def save_artifacts(self, dir_prediction: str) -> None:
+        """mapping_keyframe2frame.json + tracking trajectory matrices
+        (reference nerf_vo/tracking/dpvo.py:118-138)."""
+        os.makedirs(os.path.join(dir_prediction, "matrices"), exist_ok=True)
+        kf2frame = {
+            str(i): int(self.tracker.src_index[g]) * self.frame_stride
+            for i, g in enumerate(self.tracker.retired)
+        }
+        with open(os.path.join(dir_prediction, "mapping_keyframe2frame.json"),
+                  "w") as f:
+            json.dump(kf2frame, f)
+        traj = self.tracker.trajectory()
+        mats = {
+            str(int(self.tracker.src_index[g]) * self.frame_stride):
+                traj[g].tolist()
+            for g in self.tracker.retired
+        }
+        with open(
+            os.path.join(
+                dir_prediction, "matrices",
+                "matrices_origin2frame_keyframes_tracking.json",
+            ), "w",
+        ) as f:
+            json.dump(mats, f)
+
+
+def _bucket(n: int) -> int:
+    """Pad batch sizes to power-of-two buckets so jitted programs compile a
+    bounded number of times (remote XLA compiles cost minutes; a fresh
+    program per distinct keyframe count stalls the pipeline)."""
+    b = 1
+    while b < n:
+        b *= 2
+    return b
+
+
+class EnhancementStage:
+    """Dense priors + alignment (reference EnhancementModule)."""
+
+    def __init__(self, args):
+        self.mode = getattr(args, "enhancement_module", "depth")
+        self.mapping_name = getattr(args, "mapping_module", "nerfstudio")
+        self.estimator = (
+            OmnidataEstimator(
+                use_normals="normal" in self.mode,
+                image_size=getattr(args, "enhancement_image_size", 384),
+            )
+            if self.mode != "none"
+            else None
+        )
+
+    def step(self, packet: Optional[dict]) -> Optional[dict]:
+        if packet is None:
+            return None
+        out = dict(packet)
+        # colors: [K, 3, H, W] u8 -> [K, H, W, 3] f32 in [0, 1]
+        colors = np.moveaxis(packet["frames_color"], 1, -1).astype(
+            np.float32
+        ) / 255.0
+        out["frames_color_float"] = colors
+
+        if self.estimator is not None and "dpvo_patches" in packet:
+            K = colors.shape[0]
+            B = _bucket(K)
+            pad = ((0, B - K),) + ((0, 0),) * (colors.ndim - 1)
+            colors_b = np.pad(colors, pad, mode="edge")
+            depth_raw, normal_raw = self.estimator(jnp.asarray(colors_b))
+            patches = packet["dpvo_patches"]  # [K, P, 3, 3, 3]
+            centers = patches[:, :, :2, 1, 1]  # [K, P, (x, y)] at 1/4 res
+            invd = patches[:, :, 2, 1, 1]  # [K, P]
+            pad_k = lambda a: np.pad(
+                a, ((0, B - K),) + ((0, 0),) * (a.ndim - 1), mode="edge"
+            )
+            aligned, scale, shift = alignment.align_frames(
+                depth_raw, jnp.asarray(pad_k(centers)),
+                jnp.asarray(pad_k(invd)),
+            )
+            out["frames_depth"] = np.asarray(aligned)[:K]
+            if normal_raw is not None:
+                out["frames_normal"] = np.asarray(
+                    alignment.decode_normals(normal_raw)
+                )[:K]
+        elif "droid_slam_inverse_depth" in packet:
+            # DROID path: depth = 1 / inverse depth (reference
+            # enhancement_module.py:106-111)
+            inv = packet["droid_slam_inverse_depth"]
+            out["frames_depth"] = np.clip(
+                1.0 / np.clip(inv, 1e-6, None), 0.0, alignment.MAX_DEPTH
+            )
+            if "droid_slam_depth_covariance" in packet:
+                out["frames_depth_cov"] = packet["droid_slam_depth_covariance"]
+
+        # OpenCV -> OpenGL camera flip for the nerfstudio mapper
+        # (reference enhancement_module.py:117-118)
+        if self.mapping_name == "nerfstudio":
+            out["camera_extrinsics"] = np.asarray(
+                conventions.opencv_to_opengl(
+                    jnp.asarray(packet["camera_extrinsics"])
+                )
+            )
+        return out
+
+
+class MappingStage:
+    """Online NeRF mapping (reference MappingModule + Nerfstudio/InstantNGP
+    wrappers)."""
+
+    def __init__(self, args):
+        self.args = args
+        self.name = getattr(args, "mapping_module", "nerfstudio")
+        K = args.num_keyframes
+        H, W = args.frame_height, args.frame_width
+        use_normals = "normal" in getattr(args, "enhancement_module", "depth")
+        ngp = self.name == "instant-ngp"
+        model_cfg = NerfactoConfig(
+            near=0.05,
+            far=20.0,
+            num_images=K,
+            predict_normals=True,
+            depth_loss_type="l2" if ngp else "ds_nerf",
+            depth_loss_mult=getattr(args, "depth_supervision_lambda", 0.001),
+            normal_loss_mult=5e-6 if use_normals else 0.0,
+            use_contraction=not ngp,
+            aabb_min=-4.0,
+            aabb_max=4.0,
+        )
+        self.model = NerfactoModel(model_cfg)
+        self.trainer = MappingTrainer(
+            self.model,
+            TrainerConfig(
+                rays_per_batch=getattr(args, "rays_per_batch", 4096),
+                camera_learning_rate=getattr(
+                    args, "extrinsic_learning_rate", 1e-4
+                ),
+                max_iterations=args.mapping_iterations,
+            ),
+            num_keyframes=K,
+        )
+        self.state = self.trainer.init(jax.random.PRNGKey(42))
+        self.buffer = kb.create(
+            K, H, W, use_normals=use_normals,
+            use_depth_cov=ngp,
+        )
+        self.num_inserted = 0
+        self.step_count = 0
+        self.last_received = 0
+        self.stream_active = True
+        self.mapping_iterations = args.mapping_iterations
+        self.snapshot_every = getattr(
+            args, "mapping_snapshot_iterations", args.mapping_iterations
+        )
+        self.num_keyframes = K
+        self._key = jax.random.PRNGKey(7)
+        self.metrics_history: List[Dict[str, float]] = []
+
+    # -- keyframe stream ------------------------------------------------
+
+    def update(self, packet: dict) -> None:
+        n = packet["camera_extrinsics"].shape[0]
+        if n == 0:
+            return
+        take = min(n, self.num_keyframes - self.num_inserted)
+        if take < n:
+            packet = {  # buffer full: keep the newest
+                k: v[:take] if isinstance(v, np.ndarray) and v.ndim > 0 else v
+                for k, v in packet.items()
+            }
+            n = take
+        if n == 0:
+            return
+        # pad to a bucket size (duplicate last index+content: duplicate
+        # scatter writes carry identical values, so the result is exact)
+        B = _bucket(n)
+
+        def pad_k(a):
+            a = np.asarray(a)
+            return np.concatenate(
+                [a, np.repeat(a[-1:], B - n, axis=0)], 0
+            ) if B > n else a
+
+        idx = jnp.asarray(
+            np.concatenate(
+                [np.arange(self.num_inserted, self.num_inserted + n),
+                 np.full(B - n, self.num_inserted + n - 1)]
+            ), jnp.int32,
+        )
+        ins = {
+            "intrinsics": jnp.asarray(pad_k(packet["camera_intrinsics"])),
+            "c2w": jnp.asarray(pad_k(packet["camera_extrinsics"])),
+            "color": jnp.asarray(pad_k(packet["frames_color_float"])),
+        }
+        if "frames_depth" in packet:
+            ins["depth"] = jnp.asarray(pad_k(packet["frames_depth"]))
+        if "frames_normal" in packet:
+            ins["normal"] = jnp.asarray(pad_k(packet["frames_normal"]))
+        if "frames_depth_cov" in packet:
+            ins["depth_cov"] = jnp.asarray(pad_k(packet["frames_depth_cov"]))
+        self.buffer = kb.insert(self.buffer, idx, ins)
+        self.num_inserted += n
+        self.last_received = 0
+
+    # -- training -------------------------------------------------------
+
+    def can_train(self) -> bool:
+        if self.step_count >= self.mapping_iterations:
+            return False
+        if not self.stream_active:
+            return True
+        # pacing rule (reference mapping_module.py:36-47)
+        budget = self.mapping_iterations / max(self.num_keyframes, 1)
+        return self.last_received < budget
+
+    def train_step(self) -> Optional[Dict[str, float]]:
+        if self.num_inserted == 0 or not self.can_train():
+            self.last_received += 1
+            return None
+        self._key, sub = jax.random.split(self._key)
+        self.state, metrics = self.trainer.train_step(
+            self.state, self.buffer, sub
+        )
+        self.step_count += 1
+        self.last_received += 1
+        return metrics
+
+    def finish(self) -> None:
+        """Train to completion after the stream ends
+        (reference mapping_module.py:49-52)."""
+        self.stream_active = False
+        while self.step_count < self.mapping_iterations and self.num_inserted:
+            m = self.train_step()
+            if m is not None and self.step_count % 512 == 0:
+                self.metrics_history.append(
+                    {k: float(v) for k, v in m.items()}
+                )
+
+    # -- artifacts ------------------------------------------------------
+
+    def save_snapshot(self, dir_prediction: str) -> None:
+        import flax.serialization
+
+        snap_dir = os.path.join(dir_prediction, "snapshots")
+        os.makedirs(snap_dir, exist_ok=True)
+        blob = flax.serialization.to_bytes(
+            {"params": self.state.params,
+             "pose_deltas": self.state.pose_deltas,
+             "step": self.state.step}
+        )
+        path = os.path.join(snap_dir, f"snapshot{self.step_count:06d}.msgpack")
+        with open(path, "wb") as f:
+            f.write(blob)
+        # training-set dump (reference dataset.pt, nerfstudio_utils.py:230-241)
+        np.savez_compressed(
+            os.path.join(dir_prediction, "dataset.npz"),
+            intrinsics=np.asarray(self.buffer.intrinsics),
+            c2w=np.asarray(self.buffer.c2w),
+            num_active=int(self.buffer.num_active),
+        )
+        # optimized keyframe poses (matrices_origin2frame_training.json)
+        mats = np.asarray(
+            self.trainer.optimized_c2w(self.state, self.buffer)
+        )[: self.num_inserted]
+        os.makedirs(os.path.join(dir_prediction, "matrices"), exist_ok=True)
+        with open(
+            os.path.join(dir_prediction, "matrices",
+                         "matrices_origin2frame_training.json"), "w",
+        ) as f:
+            json.dump({str(i): m.tolist() for i, m in enumerate(mats)}, f)

@@ -314,9 +314,15 @@ class DPVOTracker:
         self.n += 1
         assert gid < cfg.max_frames, "frame buffer exhausted"
 
+        # NOTE: all indexing below uses jnp scalars, not Python ints — a
+        # Python-int index is baked into the compiled executable, so every
+        # frame would trigger fresh (remote, minutes-long) XLA compiles.
+        gid_d = jnp.asarray(gid, jnp.int32)
         self._rng, key = jax.random.split(self._rng)
         prev_med = (
-            jnp.median(self.pt_invd[self.frame_gids[-1]])
+            jnp.median(
+                self.pt_invd[jnp.asarray(self.frame_gids[-1], jnp.int32)]
+            )
             if self.frame_gids
             else jnp.asarray(1.0)
         )
@@ -324,25 +330,26 @@ class DPVOTracker:
             self.params, jnp.asarray(image, jnp.float32), key, prev_med
         )
         slot = self._alloc_ring(gid)
-        self.fmap1 = self.fmap1.at[slot].set(f1)
-        self.fmap2 = self.fmap2.at[slot].set(f2)
-        self.gmap = self.gmap.at[slot].set(gm)
-        self.imap = self.imap.at[slot].set(im)
-        self.pt_xy = self.pt_xy.at[gid].set(centers)
-        self.pt_invd = self.pt_invd.at[gid].set(invd)
-        self.intrinsics4 = self.intrinsics4.at[gid].set(
+        slot_d = jnp.asarray(slot, jnp.int32)
+        self.fmap1 = self.fmap1.at[slot_d].set(f1)
+        self.fmap2 = self.fmap2.at[slot_d].set(f2)
+        self.gmap = self.gmap.at[slot_d].set(gm)
+        self.imap = self.imap.at[slot_d].set(im)
+        self.pt_xy = self.pt_xy.at[gid_d].set(centers)
+        self.pt_invd = self.pt_invd.at[gid_d].set(invd)
+        self.intrinsics4 = self.intrinsics4.at[gid_d].set(
             jnp.asarray(intrinsics, jnp.float32) / 4.0
         )
 
         # pose init: constant velocity in w2c space
         if len(self.frame_gids) >= 2:
-            g1 = self.poses[self.frame_gids[-1]]
-            g2 = self.poses[self.frame_gids[-2]]
+            g1 = self.poses[jnp.asarray(self.frame_gids[-1], jnp.int32)]
+            g2 = self.poses[jnp.asarray(self.frame_gids[-2], jnp.int32)]
             motion = lie.se3_mul(g1, lie.se3_inv(g2))
-            self.poses = self.poses.at[gid].set(lie.se3_mul(motion, g1))
+            self.poses = self.poses.at[gid_d].set(lie.se3_mul(motion, g1))
         elif self.frame_gids:
-            self.poses = self.poses.at[gid].set(
-                self.poses[self.frame_gids[-1]]
+            self.poses = self.poses.at[gid_d].set(
+                self.poses[jnp.asarray(self.frame_gids[-1], jnp.int32)]
             )
 
         self.tstamps[gid] = tstamp
@@ -488,7 +495,14 @@ class DPVOTracker:
         """
         if not gids:
             return None
-        idx = jnp.asarray(gids)
+        # pad to a power-of-two bucket: a distinct jit/eager program per
+        # packet length would recompile constantly (remote compiles)
+        K0 = len(gids)
+        B = 1
+        while B < K0:
+            B *= 2
+        padded = list(gids) + [gids[-1]] * (B - K0)
+        idx = jnp.asarray(padded)
         poses = self.poses[idx]
         c2w = lie.se3_matrix(lie.se3_inv(poses))  # cam2world, OpenCV frame
         xy = self.pt_xy[idx]  # [K, P, 2]
@@ -509,10 +523,10 @@ class DPVOTracker:
         )
         return {
             "keyframe_indices": np.asarray(gids, np.int64),
-            "camera_intrinsics": np.asarray(self.intrinsics4[idx]) * 4.0,
-            "camera_extrinsics": np.asarray(c2w, np.float32),
+            "camera_intrinsics": np.asarray(self.intrinsics4[idx])[:K0] * 4.0,
+            "camera_extrinsics": np.asarray(c2w, np.float32)[:K0],
             "frames_color": np.moveaxis(colors, -1, 1),  # [K, 3, H, W] uint8
-            "dpvo_patches": np.asarray(patches, np.float32),
+            "dpvo_patches": np.asarray(patches, np.float32)[:K0],
             "last_frame": last_frame,
         }
 

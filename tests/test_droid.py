@@ -1,0 +1,77 @@
+import jax
+import numpy as np
+import pytest
+
+from nerf_vo_tpu.models.droid_net import init_droid_params
+from nerf_vo_tpu.tracking.droid_slam import DROIDSLAMTracker, DroidConfig
+
+H, W = 48, 64
+INTR = np.asarray([40.0, 40.0, W / 2, H / 2], np.float32)
+
+TINY = DroidConfig(
+    buffer_size=32,
+    motion_threshold=0.0,  # every frame becomes a keyframe
+    frontend_window=5,
+    frontend_radius=2,
+    max_factors=24,
+    update_iters=1,
+    ba_iters=1,
+    perform_global_ba=True,
+    compute_covariances=True,
+)
+
+
+@pytest.fixture(scope="module")
+def droid_net():
+    return init_droid_params(jax.random.PRNGKey(0), H, W)
+
+
+def _frame(rng, i):
+    import cv2
+
+    base = rng.integers(0, 255, (H // 4 + 4, W // 4 + 4, 3), dtype=np.uint8)
+    big = cv2.resize(base, ((W // 4 + 4) * 4, (H // 4 + 4) * 4))
+    return big[8: 8 + H, 8 + i: 8 + i + W]
+
+
+def test_droid_mechanics(droid_net, rng):
+    net, params = droid_net
+    tr = DROIDSLAMTracker(TINY, net, params, H, W)
+    all_retired = []
+    n = 9
+    for i in range(n):
+        retired = tr.track(i * 0.1, _frame(rng, i), INTR, frame_index=i)
+        all_retired.extend(retired)
+    assert tr.n_kf == n  # motion_threshold 0 -> all keyframes
+    assert len(all_retired) == n - TINY.frontend_window
+
+    pkt = tr.keyframe_packet(all_retired)
+    K = len(all_retired)
+    assert pkt["camera_extrinsics"].shape == (K, 4, 4)
+    assert pkt["droid_slam_inverse_depth"].shape == (K, H, W)
+    assert (pkt["droid_slam_inverse_depth"] > 0).all()
+    assert pkt["droid_slam_depth_covariance"].shape == (K, H, W)
+    assert (pkt["droid_slam_depth_covariance"] > 0).all()
+    assert pkt["frames_color"].shape == (K, 3, H, W)
+
+    rest = tr.flush()  # runs global BA
+    assert len(rest) == TINY.frontend_window
+    assert len(tr.trajectory()) == n
+    # poses stay finite rigid transforms
+    for m in tr.trajectory().values():
+        assert np.isfinite(m).all()
+        np.testing.assert_allclose(
+            m[:3, :3] @ m[:3, :3].T, np.eye(3), atol=1e-4
+        )
+
+
+def test_droid_motion_filter(droid_net, rng):
+    import dataclasses
+
+    net, params = droid_net
+    cfg = dataclasses.replace(TINY, motion_threshold=1e9)
+    tr = DROIDSLAMTracker(cfg, net, params, H, W)
+    for i in range(5):
+        tr.track(i * 0.1, _frame(rng, i), INTR)
+    # huge threshold: only the very first frame becomes a keyframe
+    assert tr.n_kf == 1
