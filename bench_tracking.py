@@ -1,0 +1,61 @@
+"""Secondary benchmark: steady-state DPVO tracking FPS at production config.
+
+Prints one JSON line {"metric": "tracking_fps", ...}. Not the driver headline
+(bench.py is); used to track the ≥20 FPS north-star (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    from nerf_vo_tpu.utils.jax_setup import setup_jax
+
+    setup_jax()
+    import jax
+
+    from nerf_vo_tpu.models.dpvo_net import init_dpvo_params
+    from nerf_vo_tpu.tracking.dpvo import DPVOTracker, TrackingConfig
+
+    H, W = 360, 640  # configs/nerf_vo_replica.yaml geometry
+    cfg = TrackingConfig()
+    net, params = init_dpvo_params(jax.random.PRNGKey(0), H, W)
+    tracker = DPVOTracker(cfg, net, params, H, W)
+    intr = np.asarray([320.0, 320.0, W / 2, H / 2], np.float32)
+
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 255, (H + 64, W + 64, 3), dtype=np.uint8)
+
+    def frame(i):
+        return base[16: 16 + H, i % 48: i % 48 + W]
+
+    # warmup through init + steady-state compiles
+    n_warm = cfg.init_frames + 6
+    for i in range(n_warm):
+        tracker.track(i * 0.05, frame(i), intr, frame_index=i)
+
+    n_bench = 30
+    t0 = time.perf_counter()
+    for i in range(n_warm, n_warm + n_bench):
+        tracker.track(i * 0.05, frame(i), intr, frame_index=i)
+    dt = time.perf_counter() - t0
+
+    fps = n_bench / dt
+    print(
+        json.dumps(
+            {
+                "metric": "tracking_fps",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / 20.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -64,9 +64,9 @@ def create(num_keyframes: int, height: int, width: int,
     )
 
 
-def insert(buffer: KeyframeBuffer, indices, packet: Dict[str, jnp.ndarray]
-           ) -> KeyframeBuffer:
-    """Insert/update keyframes at ``indices`` (jit-compatible, donating).
+def _insert_impl(buffer: KeyframeBuffer, indices, packet: Dict[str, jnp.ndarray]
+                 ) -> KeyframeBuffer:
+    """Insert/update keyframes at ``indices``.
 
     packet keys (all leading dim = len(indices)):
       intrinsics [N,4], c2w [N,4,4] (OpenGL cam2world, tracker world frame),
@@ -99,6 +99,11 @@ def insert(buffer: KeyframeBuffer, indices, packet: Dict[str, jnp.ndarray]
     if "depth_cov" in packet and new.depth_cov.shape[1] > 1:
         new = new.replace(depth_cov=new.depth_cov.at[indices].set(packet["depth_cov"]))
     return new
+
+
+# donated jit: the scatter updates happen in place in HBM instead of copying
+# every (potentially multi-hundred-MB) buffer per insert
+insert = jax.jit(_insert_impl, donate_argnums=(0,))
 
 
 def sample_ray_batch(buffer: KeyframeBuffer, pose_deltas, key, num_rays: int,

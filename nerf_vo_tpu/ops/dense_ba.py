@@ -188,10 +188,8 @@ def dense_bundle_adjust(
         rhs = v - jnp.einsum("nhpa,nh,nh->pa", U, Cinv, w_d, precision=_HI)
         H = S.transpose(0, 2, 1, 3).reshape(P * 6, P * 6)
         H = H + jnp.diag(lm_lambda * jnp.diagonal(H) + ep)
-        dx = jax.scipy.linalg.cho_solve(
-            (jax.scipy.linalg.cholesky(H, lower=True), True),
-            rhs.reshape(P * 6),
-        ).reshape(P, 6)
+        # LU solve: scipy cholesky is pathologically slow on this backend
+        dx = jnp.linalg.solve(H, rhs.reshape(P * 6)).reshape(P, 6)
         dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
 
         dz = Cinv * (w_d - jnp.einsum("nhpa,pa->nh", U, dx, precision=_HI))

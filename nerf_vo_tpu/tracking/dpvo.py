@@ -103,6 +103,13 @@ class DPVOTracker:
         self._rng = jax.random.PRNGKey(0)
 
         self._encode = jax.jit(self._encode_impl)
+        self._append = jax.jit(
+            self._append_impl, static_argnames=("pose_mode",),
+            donate_argnames=(
+                "fmap1", "fmap2", "gmap", "imap", "pt_xy", "pt_invd",
+                "intrinsics4", "poses",
+            ),
+        )
         self._vo_update = jax.jit(
             self._vo_update_impl, static_argnames=("ba_iters",),
             donate_argnames=("poses", "pt_invd", "hidden", "e_target"),
@@ -136,6 +143,30 @@ class DPVOTracker:
             centers,
             invd,
         )
+
+    def _append_impl(self, fmap1, fmap2, gmap, imap, pt_xy, pt_invd,
+                     intrinsics4, poses, slot, gid, f1, f2, gm, im, centers,
+                     invd, intr, prev1, prev2, pose_mode: int):
+        """Donated in-place frame append + constant-velocity pose init.
+
+        pose_mode: 0 = first frame (identity), 1 = copy previous,
+        2 = constant velocity from the previous two poses. Static (3 compiles).
+        """
+        fmap1 = fmap1.at[slot].set(f1)
+        fmap2 = fmap2.at[slot].set(f2)
+        gmap = gmap.at[slot].set(gm)
+        imap = imap.at[slot].set(im)
+        pt_xy = pt_xy.at[gid].set(centers)
+        pt_invd = pt_invd.at[gid].set(invd)
+        intrinsics4 = intrinsics4.at[gid].set(intr / 4.0)
+        if pose_mode == 1:
+            poses = poses.at[gid].set(poses[prev1])
+        elif pose_mode == 2:
+            g1 = poses[prev1]
+            g2 = poses[prev2]
+            motion = lie.se3_mul(g1, lie.se3_inv(g2))
+            poses = poses.at[gid].set(lie.se3_mul(motion, g1))
+        return fmap1, fmap2, gmap, imap, pt_xy, pt_invd, intrinsics4, poses
 
     def _vo_update_impl(
         self,
@@ -259,35 +290,47 @@ class DPVOTracker:
 
     def _kill_edges(self, mask: np.ndarray) -> None:
         idx = np.nonzero(mask & self.e_valid)[0]
-        for s in idx:
-            self.e_valid[s] = False
-            self.e_patch_g[s] = -1
-            self.e_jj_g[s] = -1
-            self.free_edges.append(int(s))
+        if idx.size == 0:
+            return
+        self.e_valid[idx] = False
+        self.e_patch_g[idx] = -1
+        self.e_jj_g[idx] = -1
+        self.free_edges.extend(int(s) for s in idx)
 
-    def _add_edges(self, pairs) -> None:
-        for (patch_g, jj) in pairs:
-            if not self.free_edges:
-                break  # budget exhausted; existing edges keep priority
-            s = self.free_edges.pop()
-            self.e_patch_g[s] = patch_g
-            self.e_jj_g[s] = jj
-            self.e_valid[s] = True
-            self.e_fresh[s] = True
+    def _add_edges(self, patch_g: np.ndarray, jj: np.ndarray) -> None:
+        n = min(len(patch_g), len(self.free_edges))
+        if n == 0:
+            return  # budget exhausted; existing edges keep priority
+        slots = np.asarray(
+            [self.free_edges.pop() for _ in range(n)], np.int64
+        )
+        self.e_patch_g[slots] = patch_g[:n]
+        self.e_jj_g[slots] = jj[:n]
+        self.e_valid[slots] = True
+        self.e_fresh[slots] = True
 
     def _edge_pairs_for_new_frame(self, gid: int):
         """DPVO edge policy [upstream]: new patches x recent frames
         (backward), recent patches x new frame (forward), within
-        PATCH_LIFETIME."""
+        PATCH_LIFETIME. Returns (patch_g [M], jj [M]) numpy arrays."""
         P = self.cfg.patches_per_frame
-        recent = [g for g in self.frame_gids[-self.cfg.patch_lifetime:]
-                  if g != gid]
-        pairs = []
-        for j in recent:
-            for p in range(P):
-                pairs.append((gid * P + p, j))
-                pairs.append((j * P + p, gid))
-        return pairs
+        recent = np.asarray(
+            [g for g in self.frame_gids[-self.cfg.patch_lifetime:]
+             if g != gid], np.int64,
+        )
+        if recent.size == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        p = np.arange(P, dtype=np.int64)
+        # backward: new patches -> recent frames
+        back_pg = (gid * P + p)[None, :].repeat(recent.size, 0).ravel()
+        back_jj = recent[:, None].repeat(P, 1).ravel()
+        # forward: recent patches -> new frame
+        fwd_pg = (recent[:, None] * P + p[None, :]).ravel()
+        fwd_jj = np.full(fwd_pg.size, gid, np.int64)
+        return (
+            np.concatenate([back_pg, fwd_pg]),
+            np.concatenate([back_jj, fwd_jj]),
+        )
 
     def _expire_old_patches(self) -> None:
         """Kill edges whose host patch left the lifetime window."""
@@ -314,7 +357,7 @@ class DPVOTracker:
         self.n += 1
         assert gid < cfg.max_frames, "frame buffer exhausted"
 
-        # NOTE: all indexing below uses jnp scalars, not Python ints — a
+        # NOTE: all dynamic indices are jnp scalars, not Python ints — a
         # Python-int index is baked into the compiled executable, so every
         # frame would trigger fresh (remote, minutes-long) XLA compiles.
         gid_d = jnp.asarray(gid, jnp.int32)
@@ -330,34 +373,28 @@ class DPVOTracker:
             self.params, jnp.asarray(image, jnp.float32), key, prev_med
         )
         slot = self._alloc_ring(gid)
-        slot_d = jnp.asarray(slot, jnp.int32)
-        self.fmap1 = self.fmap1.at[slot_d].set(f1)
-        self.fmap2 = self.fmap2.at[slot_d].set(f2)
-        self.gmap = self.gmap.at[slot_d].set(gm)
-        self.imap = self.imap.at[slot_d].set(im)
-        self.pt_xy = self.pt_xy.at[gid_d].set(centers)
-        self.pt_invd = self.pt_invd.at[gid_d].set(invd)
-        self.intrinsics4 = self.intrinsics4.at[gid_d].set(
-            jnp.asarray(intrinsics, jnp.float32) / 4.0
+        pose_mode = min(len(self.frame_gids), 2)
+        prev1 = jnp.asarray(
+            self.frame_gids[-1] if self.frame_gids else 0, jnp.int32
         )
-
-        # pose init: constant velocity in w2c space
-        if len(self.frame_gids) >= 2:
-            g1 = self.poses[jnp.asarray(self.frame_gids[-1], jnp.int32)]
-            g2 = self.poses[jnp.asarray(self.frame_gids[-2], jnp.int32)]
-            motion = lie.se3_mul(g1, lie.se3_inv(g2))
-            self.poses = self.poses.at[gid_d].set(lie.se3_mul(motion, g1))
-        elif self.frame_gids:
-            self.poses = self.poses.at[gid_d].set(
-                self.poses[jnp.asarray(self.frame_gids[-1], jnp.int32)]
-            )
+        prev2 = jnp.asarray(
+            self.frame_gids[-2] if len(self.frame_gids) >= 2 else 0, jnp.int32
+        )
+        (self.fmap1, self.fmap2, self.gmap, self.imap, self.pt_xy,
+         self.pt_invd, self.intrinsics4, self.poses) = self._append(
+            self.fmap1, self.fmap2, self.gmap, self.imap, self.pt_xy,
+            self.pt_invd, self.intrinsics4, self.poses,
+            jnp.asarray(slot, jnp.int32), gid_d, f1, f2, gm, im, centers,
+            invd, jnp.asarray(intrinsics, jnp.float32), prev1, prev2,
+            pose_mode=pose_mode,
+        )
 
         self.tstamps[gid] = tstamp
         self.src_index[gid] = frame_index if frame_index is not None else gid
         self.colors[gid] = np.asarray(image, np.uint8)
         self.frame_gids.append(gid)
         self._expire_old_patches()
-        self._add_edges(self._edge_pairs_for_new_frame(gid))
+        self._add_edges(*self._edge_pairs_for_new_frame(gid))
 
         retired: List[int] = []
         if not self.is_initialized:
@@ -386,25 +423,25 @@ class DPVOTracker:
         KL = cfg.patch_lifetime * P
         alive_patch_g = np.full(KL, -1, np.int64)
         pt_host = np.zeros(KL, np.int32)
-        host_ring = np.zeros(KL, np.int32)
-        loc_base: Dict[int, int] = {}
+        base_lookup = np.full(cfg.max_frames, -1, np.int64)
+        ring_lookup = np.full(cfg.max_frames, -1, np.int32)
+        for g, s in self.ring_of.items():
+            ring_lookup[g] = s
         for i, hgid in enumerate(hosts):
-            loc_base[hgid] = i * P
+            base_lookup[hgid] = i * P
             alive_patch_g[i * P: (i + 1) * P] = hgid * P + np.arange(P)
             pt_host[i * P: (i + 1) * P] = hgid
-            host_ring[i * P: (i + 1) * P] = self.ring_of[hgid]
 
         # vectorized edge metadata (buffer-slot order, one static shape)
-        e_host_g = self.e_patch_g // P
-        base = np.array([loc_base.get(int(g), -1) for g in e_host_g],
-                        np.int64)
-        ring_j = np.array(
-            [self.ring_of.get(int(g), -1) for g in self.e_jj_g], np.int32
+        e_host_g = np.clip(self.e_patch_g // P, 0, cfg.max_frames - 1)
+        e_jj_c = np.clip(self.e_jj_g, 0, cfg.max_frames - 1)
+        base = base_lookup[e_host_g]
+        ring_j = ring_lookup[e_jj_c]
+        ring_i = ring_lookup[e_host_g]
+        live = (
+            self.e_valid & (self.e_patch_g >= 0) & (self.e_jj_g >= 0)
+            & (base >= 0) & (ring_j >= 0) & (ring_i >= 0)
         )
-        ring_i = np.array(
-            [self.ring_of.get(int(g), -1) for g in e_host_g], np.int32
-        )
-        live = self.e_valid & (base >= 0) & (ring_j >= 0) & (ring_i >= 0)
         kk_local = np.where(live, base + self.e_patch_g % P, 0).astype(np.int32)
 
         # BA window: last optimization_window alive frames free, except the
@@ -445,8 +482,26 @@ class DPVOTracker:
     def _keyframe_logic(self) -> None:
         """Drop frame (n - KEYFRAME_INDEX) if local motion is below the
         keyframe threshold (reference policy [upstream]; thresh from
-        configs/*.yaml keyframe_threshold)."""
+        configs/*.yaml keyframe_threshold).
+
+        The flow-distance readback is PIPELINED: the decision for the frame
+        queued last step is resolved now (its async device->host copy has
+        completed), so the tracker never blocks on the device. The removal
+        therefore lands one frame later than the reference's synchronous
+        check — same policy, one step of latency.
+        """
         cfg = self.cfg
+        # resolve last step's queued decision
+        pending = getattr(self, "_pending_kf_check", None)
+        if pending is not None:
+            mid, dist = pending
+            self._pending_kf_check = None
+            if mid in self.frame_gids and mid > 1:
+                if float(np.asarray(dist)) < cfg.keyframe_threshold:
+                    self.frame_gids.remove(mid)
+                    self._free_frame(mid)
+                    self.colors.pop(mid, None)
+
         if len(self.frame_gids) <= cfg.keyframe_index + 2:
             return
         i = self.frame_gids[-cfg.keyframe_index - 1]
@@ -454,16 +509,15 @@ class DPVOTracker:
         mid = self.frame_gids[-cfg.keyframe_index]
         if mid <= 1:
             return  # never drop gauge anchors
-        d = float(
-            self._frame_distance(
-                self.poses, self.pt_xy, self.pt_invd, self.intrinsics4,
-                jnp.asarray(i), jnp.asarray(j),
-            )
+        d = self._frame_distance(
+            self.poses, self.pt_xy, self.pt_invd, self.intrinsics4,
+            jnp.asarray(i), jnp.asarray(j),
         )
-        if d < cfg.keyframe_threshold:
-            self.frame_gids.remove(mid)
-            self._free_frame(mid)
-            self.colors.pop(mid, None)
+        try:
+            d.copy_to_host_async()
+        except Exception:
+            pass
+        self._pending_kf_check = (mid, d)
 
     def _retire(self) -> List[int]:
         """Frames older than the removal window become final keyframes."""
