@@ -211,10 +211,10 @@ class DPVOTracker:
             poses, intrinsics4, xy_e, invd_k[kk], ii_e, jj_e
         )
 
-        # correlation features around the reprojected centers
-        pf = gmap[jnp.clip(e_host_ring, 0, R - 1), kk % P].astype(jnp.float32)
+        # correlation features around the reprojected centers (bf16 gather)
+        pf = gmap[jnp.clip(e_host_ring, 0, R - 1), kk % P]
         corr = patch_correlation(
-            pf, fmap1.astype(jnp.float32), fmap2.astype(jnp.float32),
+            pf, fmap1, fmap2,
             jnp.clip(e_jj_ring, 0, R - 1), center, radius=cfg.corr_radius,
         )
 
