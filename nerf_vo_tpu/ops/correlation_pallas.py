@@ -1,0 +1,191 @@
+"""Pallas TPU kernel for the patch-correlation window lookup.
+
+The XLA `jnp.take` formulation of ops/correlation.py streams every window
+row from HBM (~60 ms/update at production sizes — gather-descriptor bound).
+This kernel instead keeps ONE target frame's feature map resident in VMEM
+per grid step and reads windows with cheap VMEM dynamic slices:
+
+  * edges are HOST-sorted by target ring slot and padded so every block of
+    ``EB`` edges references a single frame;
+  * the frame index per block is a scalar-prefetch operand, so the fmap
+    BlockSpec's index_map selects the right frame and Mosaic's pipeline
+    skips the DMA whenever consecutive blocks hit the same frame (R DMAs
+    total instead of one gather per window row);
+  * per edge: one [256, C] x [C, 16] MXU dot computes all (window position,
+    patch pixel) integer-grid correlations at once — the [16, 16, C] window
+    slice reshapes to [256, C] for free because 16 sublanes = one bf16 tile;
+  * the scalar bilinear blend over window positions stays OUTSIDE the kernel
+    (trivial XLA elementwise work).
+
+Falls back transparently to the XLA path if Pallas compilation fails.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+EB = 8  # edges per block
+SLICE_Y = 16  # window rows read (>= WIN = 2r+4)
+SLICE_X = 32  # window cols read: 8-aligned origin + remainder<8 + WIN <= 32
+# (Mosaic requires the dynamic offset in the second-to-minor dim to be a
+# multiple of 8; the x origin is rounded down to 8 and the remainder is
+# resolved by an 8-way select outside the kernel)
+
+
+def _corr_kernel(block_frame_ref, ixiy_ref, pf_ref, fmap_ref, out_ref):
+    """One block: EB edges against one VMEM-resident frame.
+
+    ixiy: [EB, 2] int32 in SMEM (y origin, 8-aligned x origin);
+    pf: [EB, 16, C] bf16; fmap: [1, H, W, C] bf16;
+    out: [EB, 16, 512] bf16 — (patch pixel, wy * 32 + wx).
+    """
+    C = pf_ref.shape[-1]
+    for e in range(EB):
+        iy = ixiy_ref[e, 0]
+        ix8 = pl.multiple_of(ixiy_ref[e, 1], 8)
+        win = fmap_ref[0, pl.ds(iy, SLICE_Y), pl.ds(ix8, SLICE_X), :]
+        win2 = win.reshape(SLICE_Y * SLICE_X, C)
+        pf_t = pf_ref[e].reshape(16, C).T  # [C, 16]
+        cw = jnp.dot(win2, pf_t, preferred_element_type=jnp.float32)
+        out_ref[e] = cw.T.astype(out_ref.dtype)  # [16, 512]
+
+
+@functools.partial(jax.jit, static_argnames=("n_blocks",))
+def corr_window_dot(block_frame, ixiy, pf, fmap, n_blocks: int):
+    """Integer-grid correlation windows for sorted, block-aligned edges.
+
+    Args:
+      block_frame: [n_blocks] int32 ring slot per edge block (host-sorted).
+      ixiy: [n_blocks * EB, 2] int32 clamped window origins (top-left of the
+        SLICE x SLICE read; callers guarantee 0 <= origin <= dim - SLICE).
+      pf: [n_blocks * EB, 16, C] bf16 patch features (9 real + 7 zero rows).
+      fmap: [R, H, W, C] bf16.
+
+    Returns: [n_blocks * EB, 16, 256] bf16 — corr[(e, p, wy * 16 + wx)].
+    """
+    R, H, W, C = fmap.shape
+    E2 = n_blocks * EB
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((EB, 2), lambda i, bf: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((EB, 16, C), lambda i, bf: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, W, C), lambda i, bf: (bf[i], 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((EB, 16, 512), lambda i, bf: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        _corr_kernel,
+        out_shape=jax.ShapeDtypeStruct((E2, 16, 512), jnp.bfloat16),
+        grid_spec=grid_spec,
+        interpret=jax.default_backend() != "tpu",  # CPU tests interpret
+    )(block_frame, ixiy, pf, fmap)
+
+
+def _level_pallas(fmap, block_frame, pf16, center, radius: int,
+                  n_blocks: int):
+    """One pyramid level: window dot via Pallas + scalar bilinear blend.
+
+    The feature map is zero-padded by SLICE on every spatial side and center
+    coordinates are clamped into the frame, so window origins NEVER clamp:
+    partial windows read exact zeros (matching the XLA path's per-pixel
+    masking) and no per-edge shift correction is needed. Fully off-screen
+    centers get their whole window zeroed.
+    """
+    R, H, W, C = fmap.shape
+    r = radius
+    D = 2 * r + 1
+    WIN = 2 * r + 4
+    E2 = n_blocks * EB
+
+    cx = center[..., 0]
+    cy = center[..., 1]
+    usable = (cx >= 0) & (cx <= W - 1) & (cy >= 0) & (cy <= H - 1)
+    cxc = jnp.clip(cx, 0.0, W - 1.0)
+    cyc = jnp.clip(cy, 0.0, H - 1.0)
+    # asymmetric zero-padding so window reads never clamp, sized to keep the
+    # double-buffered VMEM frame block under the 16 MB budget: y needs
+    # SLICE_Y - (r + 1) rows of margin, x needs SLICE_X + alignment slack
+    PAD_Y = 16
+    PAD_X = 32
+    ix = jnp.floor(cxc).astype(jnp.int32) - (r + 1) + PAD_X
+    iy = jnp.floor(cyc).astype(jnp.int32) - (r + 1) + PAD_Y
+    fx = cxc - jnp.floor(cxc)
+    fy = cyc - jnp.floor(cyc)
+
+    fpad = jnp.pad(fmap, ((0, 0), (PAD_Y, PAD_Y), (PAD_X, PAD_X), (0, 0)))
+
+    ix8 = (ix // 8) * 8
+    rem = ix - ix8  # in [0, 8)
+    ixiy = jnp.stack([iy, ix8], -1).astype(jnp.int32)
+    cw = corr_window_dot(block_frame, ixiy, pf16, fpad, n_blocks)
+    # POST-PROCESSING LAYOUT: edge dim goes MINOR-most — every later tensor
+    # has tiny window/patch dims, which TPU tiling would pad to 128 lanes
+    # (measured 24 ms of pure padding traffic in the edge-major layout).
+    # Stay bf16 until the blend to halve traffic.
+    cw = cw.reshape(E2, 16, SLICE_Y, SLICE_X).transpose(
+        1, 2, 3, 0
+    )  # [p, wy, wx, E] bf16
+    # resolve the x-origin remainder with an 8-way masked select of static
+    # slices (Mosaic needs 8-aligned dynamic x origins)
+    cwin = jnp.zeros((16, WIN, WIN, E2), jnp.bfloat16)
+    for s in range(8):
+        sel = (rem == s)[None, None, None, :]
+        cwin = cwin + sel.astype(jnp.bfloat16) * cw[:, :WIN, s: s + WIN, :]
+    cwin = cwin.astype(jnp.float32)
+
+    u = usable.astype(jnp.float32)
+    w00 = (u * (1 - fx) * (1 - fy))[None, None, :]
+    w10 = (u * fx * (1 - fy))[None, None, :]
+    w01 = (u * (1 - fx) * fy)[None, None, :]
+    w11 = (u * fx * fy)[None, None, :]
+    out = []
+    for p in range(9):
+        py, px = p // 3, p % 3
+        c00 = cwin[p, py: py + D, px: px + D, :]
+        c10 = cwin[p, py: py + D, px + 1: px + 1 + D, :]
+        c01 = cwin[p, py + 1: py + 1 + D, px: px + D, :]
+        c11 = cwin[p, py + 1: py + 1 + D, px + 1: px + 1 + D, :]
+        out.append(w00 * c00 + w10 * c10 + w01 * c01 + w11 * c11)
+    return jnp.stack(out, axis=0)  # [9, D, D, E]
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "n_blocks"))
+def patch_correlation_pallas(
+    pf_sorted, fmap1, fmap2, block_frame, center_sorted, radius: int,
+    n_blocks: int,
+):
+    """Pallas two-level correlation for HOST-SORTED edges.
+
+    Args:
+      pf_sorted: [E2, 3, 3, C] bf16 patch features in sorted order.
+      fmap1/fmap2: [R, H, W, C]/[R, H/2, W/2, C] bf16 pyramids.
+      block_frame: [n_blocks] int32 ring slot per EB-edge block.
+      center_sorted: [E2, 2] f32 reprojected centers (level-0 pixels).
+
+    Returns: [E2, 2 * 9 * (2r+1)^2] f32 correlation features (sorted order;
+    caller un-permutes).
+    """
+    E2, _, _, C = pf_sorted.shape
+    D = 2 * radius + 1
+    pf16 = jnp.zeros((E2, 16, C), jnp.bfloat16)
+    pf16 = pf16.at[:, :9].set(
+        pf_sorted.reshape(E2, 9, C).astype(jnp.bfloat16)
+    )
+    c1 = _level_pallas(fmap1, block_frame, pf16, center_sorted,
+                       radius, n_blocks)  # [9, D, D, E]
+    c2 = _level_pallas(fmap2, block_frame, pf16, center_sorted * 0.5,
+                       radius, n_blocks)
+    out = jnp.stack([c1, c2], axis=0).reshape(2 * 9 * D * D, E2)
+    return out.T / jnp.sqrt(jnp.asarray(C, jnp.float32))

@@ -54,6 +54,7 @@ class TrackingConfig:
     max_edges: int = 32768
     ring_size: int = 32  # feature ring; >= removal window + margin
     corr_radius: int = 3
+    use_pallas_corr: bool = True  # Pallas VMEM corr kernel (TPU only)
 
 
 class DPVOTracker:
@@ -186,6 +187,9 @@ class DPVOTracker:
         e_new,        # [E] bool: first update for this edge
         e_live,       # [E] bool
         slot_map,     # [N] BA slot map
+        perm,         # [E2] sorted-edge permutation (or None: XLA corr)
+        inv_perm,     # [E] inverse permutation
+        block_frame,  # [E2/EB] ring slot per pallas block
         ba_iters: int,
     ):
         """One tracking update: correlate -> update net -> BA.
@@ -213,10 +217,23 @@ class DPVOTracker:
 
         # correlation features around the reprojected centers (bf16 gather)
         pf = gmap[jnp.clip(e_host_ring, 0, R - 1), kk % P]
-        corr = patch_correlation(
-            pf, fmap1, fmap2,
-            jnp.clip(e_jj_ring, 0, R - 1), center, radius=cfg.corr_radius,
-        )
+        if perm is not None:
+            from nerf_vo_tpu.ops.correlation_pallas import (
+                EB as _EB,
+                patch_correlation_pallas,
+            )
+
+            corr_s = patch_correlation_pallas(
+                pf[perm], fmap1, fmap2, block_frame, center[perm],
+                radius=cfg.corr_radius, n_blocks=perm.shape[0] // _EB,
+            )
+            corr = corr_s[inv_perm]
+        else:
+            corr = patch_correlation(
+                pf, fmap1, fmap2,
+                jnp.clip(e_jj_ring, 0, R - 1), center,
+                radius=cfg.corr_radius,
+            )
 
         h = jnp.where(e_new[:, None], 0.0, hidden)
         tgt_prev = jnp.where(e_new[:, None], center, e_target)
@@ -457,6 +474,43 @@ class DPVOTracker:
 
         pt_xy_k = self.pt_xy.reshape(-1, 2)[np.clip(alive_patch_g, 0, None)]
 
+        # edge sort for the Pallas correlation kernel: per-ring contiguous
+        # runs padded to EB-blocks, so each block reads ONE frame's features
+        perm = inv_perm = block_frame = None
+        if self.cfg.use_pallas_corr and jax.default_backend() == "tpu":
+            from nerf_vo_tpu.ops.correlation_pallas import EB as _EB
+
+            E = cfg.max_edges
+            ring_clamped = np.where(live, ring_j, 0)
+            order = np.argsort(ring_clamped, kind="stable")
+            rings_sorted = ring_clamped[order]
+            perm_list = []
+            blocks = []
+            for ring in range(cfg.ring_size):
+                sel = order[rings_sorted == ring]
+                if sel.size == 0:
+                    continue
+                nb = -(-sel.size // _EB)
+                pad = nb * _EB - sel.size
+                perm_list.append(sel)
+                if pad:
+                    perm_list.append(np.full(pad, sel[-1]))
+                blocks.extend([ring] * nb)
+            # fixed total length for a single compilation
+            E2 = E + cfg.ring_size * _EB
+            flat = np.concatenate(perm_list) if perm_list else np.zeros(0, np.int64)
+            fill = E2 - flat.size
+            perm_np = np.concatenate([flat, np.zeros(fill, np.int64)])
+            blocks += [0] * ((E2 // _EB) - len(blocks))
+            # inverse permutation: first occurrence wins for pad duplicates
+            inv_np = np.zeros(E, np.int64)
+            if flat.size:
+                uniq, first_idx = np.unique(flat, return_index=True)
+                inv_np[uniq] = first_idx
+            perm = jnp.asarray(perm_np, jnp.int32)
+            inv_perm = jnp.asarray(inv_np, jnp.int32)
+            block_frame = jnp.asarray(np.asarray(blocks, np.int32))
+
         (self.poses, self.pt_invd, self.hidden, self.e_target, costs
          ) = self._vo_update(
             self.params,
@@ -475,6 +529,9 @@ class DPVOTracker:
             jnp.asarray(self.e_fresh.copy()),
             jnp.asarray(live),
             jnp.asarray(slot_map),
+            perm,
+            inv_perm,
+            block_frame,
             ba_iters=cfg.ba_iterations,
         )
         self.e_fresh[live] = False
