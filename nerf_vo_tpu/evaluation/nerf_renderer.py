@@ -152,6 +152,7 @@ def load_snapshot_renderer(dir_prediction: str, mapping_stage):
     snaps = sorted(
         os.path.join(dir_prediction, "snapshots", f)
         for f in os.listdir(os.path.join(dir_prediction, "snapshots"))
+        if f.startswith("snapshot")
     )
     with open(snaps[-1], "rb") as f:
         blob = f.read()

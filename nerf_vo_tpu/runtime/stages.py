@@ -277,6 +277,15 @@ class MappingStage:
         self.num_keyframes = K
         self._key = jax.random.PRNGKey(7)
         self.metrics_history: List[Dict[str, float]] = []
+        # preview dumps replace the reference's live viser viewer
+        # (nerf_vo/mapping/nerfstudio.py:101-102,125-137): rendered RGB/depth
+        # snapshots land in <dir_prediction>/previews every N steps
+        self.preview_every = getattr(args, "preview_iterations", 0)
+        self.preview_dir = (
+            os.path.join(getattr(args, "dir_prediction", "."), "previews")
+            if self.preview_every
+            else None
+        )
 
     # -- keyframe stream ------------------------------------------------
 
@@ -345,7 +354,37 @@ class MappingStage:
         )
         self.step_count += 1
         self.last_received += 1
+        if (
+            self.preview_every
+            and self.step_count % self.preview_every == 0
+            and self.num_inserted > 0
+        ):
+            self._dump_preview()
         return metrics
+
+    def _dump_preview(self) -> None:
+        import cv2
+
+        os.makedirs(self.preview_dir, exist_ok=True)
+        H, W = self.buffer.hw
+        out = self.trainer.render_image(
+            self.state,
+            self.trainer.optimized_c2w(self.state, self.buffer)[0],
+            self.buffer.intrinsics[0], H, W,
+        )
+        rgb = np.clip(np.asarray(out["rgb"]) * 255, 0, 255).astype(np.uint8)
+        depth = np.asarray(out["depth"])
+        dnorm = np.clip(depth / max(depth.max(), 1e-6) * 255, 0, 255).astype(
+            np.uint8
+        )
+        cv2.imwrite(
+            os.path.join(self.preview_dir, f"rgb_{self.step_count:06d}.jpg"),
+            cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR),
+        )
+        cv2.imwrite(
+            os.path.join(self.preview_dir,
+                         f"depth_{self.step_count:06d}.png"), dnorm,
+        )
 
     def finish(self) -> None:
         """Train to completion after the stream ends
@@ -360,11 +399,32 @@ class MappingStage:
 
     # -- artifacts ------------------------------------------------------
 
+    def restore_snapshot(self, path: str) -> None:
+        """Mid-run resume: restore the FULL train state (params, pose deltas,
+        both optimizer states, step) — goes beyond the reference, whose
+        snapshots only support post-hoc evaluation (SURVEY.md §5.4)."""
+        import flax.serialization
+
+        with open(path, "rb") as f:
+            blob = f.read()
+        target = flax.serialization.to_state_dict(self.state)
+        restored = flax.serialization.from_bytes(target, blob)
+        self.state = flax.serialization.from_state_dict(self.state, restored)
+        self.step_count = int(self.state.step)
+
     def save_snapshot(self, dir_prediction: str) -> None:
         import flax.serialization
 
         snap_dir = os.path.join(dir_prediction, "snapshots")
         os.makedirs(snap_dir, exist_ok=True)
+        # full resumable train state (params + pose deltas + optimizer states)
+        blob = flax.serialization.to_bytes(self.state)
+        with open(
+            os.path.join(snap_dir,
+                         f"trainstate{self.step_count:06d}.msgpack"), "wb",
+        ) as f:
+            f.write(blob)
+        # lightweight eval snapshot (matches load_snapshot_renderer)
         blob = flax.serialization.to_bytes(
             {"params": self.state.params,
              "pose_deltas": self.state.pose_deltas,
