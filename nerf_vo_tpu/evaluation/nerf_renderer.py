@@ -132,13 +132,12 @@ class MapRenderer:
         density = np.concatenate(out)[:n].reshape(tuple(int(r) for r in res))
 
         sdf = density_threshold - density  # negative inside
-        voxel = float((hi - lo).max() / max(res.max() - 1, 1))
-        verts, faces, _ = tsdf.surface_nets(
+        verts, faces, _ = tsdf.extract_mesh(
             np.clip(sdf / max(density_threshold, 1e-3), -1, 1), None,
             lo, 1.0, None,
         )
         if len(verts):
-            # surface_nets assumed unit voxels at `lo`; rescale per-axis
+            # extraction assumed unit voxels at `lo`; rescale per-axis
             scale = (hi - lo) / np.maximum(res - 1, 1)
             verts = (verts - lo) * scale + lo
         meshio.write_ply(file_mesh, verts, faces)

@@ -267,6 +267,128 @@ def surface_nets(tsdf: np.ndarray, weight: Optional[np.ndarray],
     return verts.astype(np.float32), faces, vcolors
 
 
+# ---------------------------------------------------------------------------
+# marching tetrahedra
+# ---------------------------------------------------------------------------
+
+# tet vertex indices into the cube's 8 corners (x + 2y + 4z bit order),
+# 6 tets sharing the main diagonal c0-c7
+_TETS = np.array(
+    [[0, 1, 3, 7], [0, 3, 2, 7], [0, 2, 6, 7],
+     [0, 6, 4, 7], [0, 4, 5, 7], [0, 5, 1, 7]], np.int64,
+)
+# tet edges e0..e5 as (a, b) vertex pairs
+_EDGE_A = np.array([0, 0, 0, 1, 1, 2], np.int64)
+_EDGE_B = np.array([1, 2, 3, 2, 3, 3], np.int64)
+# case (bitmask of "corner inside") -> up to 2 triangles of edge ids, -1 pad.
+_TRI_TABLE = -np.ones((16, 2, 3), np.int64)
+_TRI_TABLE[1, 0] = (0, 1, 2)
+_TRI_TABLE[2, 0] = (0, 3, 4)
+_TRI_TABLE[4, 0] = (1, 5, 3)
+_TRI_TABLE[8, 0] = (2, 4, 5)
+_TRI_TABLE[3] = ((1, 3, 4), (1, 4, 2))
+_TRI_TABLE[5] = ((0, 3, 5), (0, 5, 2))
+_TRI_TABLE[9] = ((0, 4, 5), (0, 5, 1))
+_TRI_TABLE[6] = ((0, 1, 5), (0, 5, 4))
+_TRI_TABLE[10] = ((0, 2, 5), (0, 5, 3))
+_TRI_TABLE[12] = ((1, 2, 4), (1, 4, 3))
+_TRI_TABLE[14, 0] = (0, 2, 1)
+_TRI_TABLE[13, 0] = (0, 4, 3)
+_TRI_TABLE[11, 0] = (1, 3, 5)
+_TRI_TABLE[7, 0] = (2, 5, 4)
+
+_CORNER_OFF = np.array(
+    [[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0],
+     [0, 0, 1], [1, 0, 1], [0, 1, 1], [1, 1, 1]], np.float32,
+)
+
+
+def marching_tetrahedra(tsdf: np.ndarray, weight: Optional[np.ndarray],
+                        origin: np.ndarray, voxel_size: float,
+                        color: Optional[np.ndarray] = None, iso: float = 0.0):
+    """Primal isosurface extraction via marching tetrahedra (vectorized
+    numpy): each sign-change cube is split into 6 tetrahedra and each tet
+    emits 1-2 triangles with EXACT linear zero-crossing vertices on its
+    edges — same family/fidelity as the reference's marching cubes
+    (evaluation/nerf_renderer.py:170-209 [upstream]) without the 256-case
+    tables. Shared vertices are merged by lattice-edge dedup.
+
+    Returns (vertices [N, 3], faces [M, 3], vertex_colors or None).
+    """
+    valid = weight > 0 if weight is not None else np.ones_like(tsdf, bool)
+
+    def corners(a):
+        return np.stack(
+            [a[:-1, :-1, :-1], a[1:, :-1, :-1], a[:-1, 1:, :-1],
+             a[1:, 1:, :-1], a[:-1, :-1, 1:], a[1:, :-1, 1:],
+             a[:-1, 1:, 1:], a[1:, 1:, 1:]], -1,
+        )
+
+    cv = corners(tsdf)
+    cw = corners(valid.astype(np.uint8)).all(-1)
+    sign = cv < iso
+    mixed = cw & sign.any(-1) & (~sign.all(-1))
+    if not mixed.any():
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32), None
+
+    ci, cj, ck = np.nonzero(mixed)
+    vals = cv[ci, cj, ck]  # [N, 8]
+    base = np.stack([ci, cj, ck], -1).astype(np.float32)  # [N, 3]
+
+    tri_verts = []
+    for tet in _TETS:
+        tv = vals[:, tet]  # [N, 4]
+        case = ((tv < iso) << np.arange(4)).sum(-1)  # [N]
+        for t in range(2):
+            tri_e = _TRI_TABLE[case, t]  # [N, 3] edge ids or -1
+            sel = tri_e[:, 0] >= 0
+            if not sel.any():
+                continue
+            e = tri_e[sel]  # [M, 3]
+            va = tv[sel][np.arange(sel.sum())[:, None], _EDGE_A[e]]
+            vb = tv[sel][np.arange(sel.sum())[:, None], _EDGE_B[e]]
+            pa = base[sel, None, :] + _CORNER_OFF[tet[_EDGE_A[e]]]
+            pb = base[sel, None, :] + _CORNER_OFF[tet[_EDGE_B[e]]]
+            frac = ((iso - va) / np.where(
+                np.abs(vb - va) < 1e-12, 1e-12, vb - va
+            ))[..., None]
+            tri_verts.append(pa + np.clip(frac, 0.0, 1.0) * (pb - pa))
+
+    v = np.concatenate(tri_verts, 0).reshape(-1, 3)  # [3*T, 3] lattice coords
+    # merge duplicate vertices (zero-crossings are shared across tets/cells)
+    keys = np.round(v * 4096.0).astype(np.int64)
+    _, uniq_idx, inv = np.unique(
+        keys.view([("x", np.int64), ("y", np.int64), ("z", np.int64)]),
+        return_index=True, return_inverse=True,
+    )
+    verts = v[uniq_idx]
+    faces = inv.reshape(-1, 3).astype(np.int32)
+    # drop degenerate triangles
+    good = (
+        (faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2])
+        & (faces[:, 0] != faces[:, 2])
+    )
+    faces = faces[good]
+
+    vcolors = None
+    if color is not None:
+        vi = np.clip(np.round(verts).astype(np.int64), 0,
+                     np.array(color.shape[:3]) - 1)
+        vcolors = color[vi[:, 0], vi[:, 1], vi[:, 2]]
+
+    verts = verts * voxel_size + origin
+    return verts.astype(np.float32), faces, vcolors
+
+
+def extract_mesh(tsdf, weight, origin, voxel_size, color=None,
+                 method: str = "marching_tetrahedra"):
+    """Isosurface extraction dispatch: 'marching_tetrahedra' (default,
+    primal, exact edge interpolation) or 'surface_nets' (dual, faster)."""
+    if method == "surface_nets":
+        return surface_nets(tsdf, weight, origin, voxel_size, color)
+    return marching_tetrahedra(tsdf, weight, origin, voxel_size, color)
+
+
 def integrate_mesh(file_mesh: str, camera_intrinsics: dict,
                    camera_extrinsics, frames_color, frames_depth,
                    voxel_size: float = VOXEL_SIZE) -> None:
@@ -286,7 +408,7 @@ def integrate_mesh(file_mesh: str, camera_intrinsics: dict,
         np.stack(frames_depth), colors, intr,
         np.stack(camera_extrinsics), voxel_size=voxel_size,
     )
-    verts, faces, vcol = surface_nets(
+    verts, faces, vcol = extract_mesh(
         vol["tsdf"], vol["weight"], vol["origin"], vol["voxel_size"],
         vol["color"],
     )

@@ -45,6 +45,7 @@ class TrainState:
     opt_state: Any
     cam_opt_state: Any
     step: jnp.ndarray  # [] int32
+    occ_grid: Any = None  # [res^3] f32 when sampler == "occupancy"
 
 
 class MappingTrainer:
@@ -64,34 +65,48 @@ class MappingTrainer:
         # one cached jitted renderer (a fresh jit per call would recompile
         # every render — measured minutes/frame under remote XLA compile)
         self._render_chunk = jax.jit(
-            lambda params, o, d: self.model.render(params, o, d, None)
+            lambda params, occ, o, d: self.model.render(
+                params, o, d, None, occ_grid=occ
+            )
         )
 
     def init(self, key) -> TrainState:
+        from nerf_vo_tpu.ops import occupancy as O
+
         params = self.model.init(key)
         pose_deltas = jnp.zeros((self.num_keyframes, 6), jnp.float32)
+        occ = (
+            O.create(self.model.config.occupancy)
+            if self.model.config.sampler == "occupancy"
+            else None
+        )
         return TrainState(
             params=params,
             pose_deltas=pose_deltas,
             opt_state=self.tx.init(params),
             cam_opt_state=self.cam_tx.init(pose_deltas),
             step=jnp.asarray(0, jnp.int32),
+            occ_grid=occ,
         )
 
     # ------------------------------------------------------------------
 
-    def _loss_fn(self, params, pose_deltas, buffer, key):
+    def _loss_fn(self, params, pose_deltas, buffer, key, occ_grid=None):
         k_sample, k_render = jax.random.split(key)
         deltas = pose_deltas if self.config.optimize_extrinsics else None
         batch = kb.sample_ray_batch(
             buffer, deltas, k_sample, self.config.rays_per_batch
         )
-        return self.model.loss(params, batch, k_render)
+        return self.model.loss(params, batch, k_render, occ_grid=occ_grid)
 
     def _train_step_impl(self, state: TrainState, buffer: kb.KeyframeBuffer,
                          key) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         def wrapped(params, pose_deltas):
-            return self._loss_fn(params, pose_deltas, buffer, key)
+            return self._loss_fn(
+                params, pose_deltas, buffer, key,
+                occ_grid=jax.lax.stop_gradient(state.occ_grid)
+                if state.occ_grid is not None else None,
+            )
 
         (loss, metrics), grads = jax.value_and_grad(
             wrapped, argnums=(0, 1), has_aux=True
@@ -112,12 +127,26 @@ class MappingTrainer:
             pose_deltas = state.pose_deltas
             cam_opt_state = state.cam_opt_state
 
+        occ_grid = state.occ_grid
+        if occ_grid is not None:
+            occ_cfg = self.model.config.occupancy
+            key_occ = jax.random.fold_in(key, 1)
+            occ_grid = jax.lax.cond(
+                state.step % occ_cfg.update_every == 0,
+                lambda g: self.model.refresh_occupancy(
+                    params, g, state.step, key_occ
+                ),
+                lambda g: g,
+                occ_grid,
+            )
+
         new_state = TrainState(
             params=params,
             pose_deltas=pose_deltas,
             opt_state=opt_state,
             cam_opt_state=cam_opt_state,
             step=state.step + 1,
+            occ_grid=occ_grid,
         )
         return new_state, metrics
 
@@ -155,7 +184,9 @@ class MappingTrainer:
 
         outs = []
         for i in range(0, n + pad, chunk):
-            r = self._render_chunk(state.params, o[i:i + chunk], d[i:i + chunk])
+            r = self._render_chunk(
+                state.params, state.occ_grid, o[i:i + chunk], d[i:i + chunk]
+            )
             outs.append({k: r[k] for k in ("rgb", "depth", "accumulation")})
         cat = {k: jnp.concatenate([x[k] for x in outs])[:n] for k in outs[0]}
         rgb = cat["rgb"].reshape(height, width, 3)

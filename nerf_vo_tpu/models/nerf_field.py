@@ -130,6 +130,14 @@ class NerfactoField(nn.Module):
         density = trunc_exp(h[..., 0] - 1.0)
         return density, h[..., 1:]
 
+    def density_unit(self, unit_positions):
+        """Density at coords ALREADY in the unit cube (the occupancy-grid
+        refresh evaluates at grid-cell centers, which live in unit space —
+        no world-frame round trip needed)."""
+        feat = hash_grid.hash_encode(self.tables, unit_positions, self.grid)
+        h = self.density_mlp(feat)
+        return trunc_exp(h[..., 0] - 1.0)
+
     def rgb(self, geo_feat, directions, camera_indices=None):
         d = sh_encode(directions, self.sh_degree)
         if camera_indices is None:

@@ -26,6 +26,7 @@ from nerf_vo_tpu.models.nerf_field import (
     ProposalDensityField,
 )
 from nerf_vo_tpu.ops import losses as L
+from nerf_vo_tpu.ops import occupancy as O
 from nerf_vo_tpu.ops import rendering as R
 
 
@@ -54,6 +55,11 @@ class NerfactoConfig:
     is_euclidean_depth: bool = False
     max_res: int = 2048
     log2_hashmap_size: int = 19
+    # sampling strategy: "proposal" (nerfacto) or "occupancy" (Instant-NGP
+    # path: density-grid-driven empty-space skipping, ops/occupancy.py)
+    sampler: str = "proposal"
+    num_occ_bins: int = 128  # coarse occupancy bins per ray
+    occupancy: O.OccupancyConfig = O.OccupancyConfig()
 
 
 class NerfactoModel:
@@ -74,6 +80,8 @@ class NerfactoModel:
                 grid=HashGridConfig(5, 2, 17, 16, 256), hidden=16, **common
             ),
         ][: len(config.num_proposal_samples)]
+        if config.sampler == "occupancy":
+            self.proposal_fields = []
         self.field = NerfactoField(
             grid=HashGridConfig(
                 16, 2, config.log2_hashmap_size, 16, config.max_res
@@ -112,6 +120,7 @@ class NerfactoModel:
         key=None,
         train: bool = False,
         compute_grad_normals: bool = False,
+        occ_grid=None,
     ) -> Dict[str, Any]:
         """Render a batch of rays.
 
@@ -135,26 +144,45 @@ class NerfactoModel:
         edges_list = []
         weights_list = []
 
-        s_edges = R.uniform_bins(
-            keys[0], n_rays, cfg.num_proposal_samples[0], stratified=train
-        )
-        for i, pf in enumerate(self.proposal_fields):
+        if cfg.sampler == "occupancy":
+            # Instant-NGP-equivalent empty-space skipping: cheap occupancy
+            # gathers at coarse bin centers drive the PDF resampler, so the
+            # fixed sample budget lands in occupied cells only.
+            s_edges = R.uniform_bins(
+                keys[0], n_rays, cfg.num_occ_bins, stratified=train
+            )
             t_edges = self._s_to_t(s_edges, cfg.near, cfg.far)
             t_mid = 0.5 * (t_edges[..., 1:] + t_edges[..., :-1])
-            deltas = t_edges[..., 1:] - t_edges[..., :-1]
             pos = self._positions(origins, directions, t_mid)
-            density = pf.apply({"params": params[f"proposal_{i}"]}, pos)
-            weights, _ = R.render_weights(density, deltas)
-            edges_list.append(s_edges)
-            weights_list.append(weights)
-            n_next = (
-                cfg.num_proposal_samples[i + 1]
-                if i + 1 < len(cfg.num_proposal_samples)
-                else cfg.num_nerf_samples
-            )
+            if occ_grid is not None:
+                unit = self.field._to_unit(pos)
+                w = O.bin_weights(occ_grid, unit, cfg.occupancy)
+            else:  # no grid yet: uniform allocation
+                w = jnp.ones(t_mid.shape, jnp.float32)
             s_edges = R.sample_pdf(
-                keys[i + 1], s_edges, weights, n_next, stratified=train
+                keys[-1], s_edges, w, cfg.num_nerf_samples, stratified=train
             )
+        else:
+            s_edges = R.uniform_bins(
+                keys[0], n_rays, cfg.num_proposal_samples[0], stratified=train
+            )
+            for i, pf in enumerate(self.proposal_fields):
+                t_edges = self._s_to_t(s_edges, cfg.near, cfg.far)
+                t_mid = 0.5 * (t_edges[..., 1:] + t_edges[..., :-1])
+                deltas = t_edges[..., 1:] - t_edges[..., :-1]
+                pos = self._positions(origins, directions, t_mid)
+                density = pf.apply({"params": params[f"proposal_{i}"]}, pos)
+                weights, _ = R.render_weights(density, deltas)
+                edges_list.append(s_edges)
+                weights_list.append(weights)
+                n_next = (
+                    cfg.num_proposal_samples[i + 1]
+                    if i + 1 < len(cfg.num_proposal_samples)
+                    else cfg.num_nerf_samples
+                )
+                s_edges = R.sample_pdf(
+                    keys[i + 1], s_edges, weights, n_next, stratified=train
+                )
 
         # final field
         t_edges = self._s_to_t(s_edges, cfg.near, cfg.far)
@@ -163,16 +191,33 @@ class NerfactoModel:
         pos = self._positions(origins, directions, t_mid)
 
         field_params = {"params": params["field"]}
-        density, geo = self.field.apply(field_params, pos, method=self.field.density)
 
         grad_normals = None
         if compute_grad_normals:
-            density_sum = lambda p: jnp.sum(
-                self.field.apply(field_params, p, method=self.field.density)[0]
+            # Density-gradient normals are TARGETS (stop-gradient), not a
+            # differentiable branch: the reference's orientation loss is
+            # second-order in the field [upstream nerfstudio], but a
+            # second-order pass would double the encode cost and forbid the
+            # mixed-precision gather VJP; the surface orientation signal
+            # here comes from pred_normal_loss + the Omnidata normal
+            # supervision (the NeRF-VO-specific path). Documented delta.
+            # jax.vjp shares the encode's gathered bricks between the
+            # density value and its position gradient — no second encode.
+            (density, geo), pullback = jax.vjp(
+                lambda p: self.field.apply(
+                    field_params, p, method=self.field.density
+                ),
+                pos,
             )
-            g = jax.grad(density_sum)(pos)
+            g = jax.lax.stop_gradient(
+                pullback((jnp.ones_like(density), jnp.zeros_like(geo)))[0]
+            )
             grad_normals = -g / jnp.clip(
                 jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-7
+            )
+        else:
+            density, geo = self.field.apply(
+                field_params, pos, method=self.field.density
             )
 
         dirs_b = jnp.broadcast_to(directions[..., None, :], pos.shape)
@@ -214,7 +259,8 @@ class NerfactoModel:
 
     # -- losses ------------------------------------------------------------
 
-    def loss(self, params, batch: Dict[str, Any], key, step=None) -> Tuple[Any, Dict]:
+    def loss(self, params, batch: Dict[str, Any], key, step=None,
+             occ_grid=None) -> Tuple[Any, Dict]:
         """Full training loss on a ray batch.
 
         batch keys: origins, directions, rgb [R,3]; optional: depth [R],
@@ -229,6 +275,7 @@ class NerfactoModel:
             key=key,
             train=True,
             compute_grad_normals=cfg.predict_normals,
+            occ_grid=occ_grid,
         )
         metrics = {}
         loss = L.rgb_loss(out["rgb"], batch["rgb"])
@@ -298,3 +345,17 @@ class NerfactoModel:
         metrics["loss"] = loss
         metrics["psnr"] = -10.0 * jnp.log10(jnp.clip(metrics["rgb_loss"], 1e-10))
         return loss, metrics
+
+    # -- occupancy maintenance ----------------------------------------------
+
+    def refresh_occupancy(self, params, occ_grid, step, key):
+        """One occupancy-grid refresh (caller gates on cfg.occupancy.
+        update_every): re-evaluate this step's rotating cell slab against the
+        current field and max-merge (reference: pyngp's density-grid update
+        inside Testbed.frame() [upstream])."""
+        cfg = self.config.occupancy
+        unit, start = O.slab_cell_centers(step, key, cfg)
+        density = self.field.apply(
+            {"params": params["field"]}, unit, method=self.field.density_unit
+        )
+        return O.refresh(occ_grid, density, start, cfg)

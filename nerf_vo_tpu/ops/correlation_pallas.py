@@ -11,11 +11,13 @@ per grid step and reads windows with cheap VMEM dynamic slices:
     BlockSpec's index_map selects the right frame and Mosaic's pipeline
     skips the DMA whenever consecutive blocks hit the same frame (R DMAs
     total instead of one gather per window row);
-  * per edge: one [256, C] x [C, 16] MXU dot computes all (window position,
-    patch pixel) integer-grid correlations at once — the [16, 16, C] window
-    slice reshapes to [256, C] for free because 16 sublanes = one bf16 tile;
+  * per edge: one [9, C] x [C, 240] MXU dot (rhs-contracted on its minor
+    dim — no in-kernel transposes; measured 30% faster than the
+    [240, C] x [C, 16] + transpose formulation) computes all (patch pixel,
+    window position) integer-grid correlations at once;
   * the scalar bilinear blend over window positions stays OUTSIDE the kernel
-    (trivial XLA elementwise work).
+    (trivial XLA elementwise work), operating edge-minor so TPU lane tiling
+    never pads the tiny window dims.
 
 Falls back transparently to the XLA path if Pallas compilation fails.
 """
@@ -29,20 +31,22 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-EB = 8  # edges per block
-SLICE_Y = 16  # window rows read (>= WIN = 2r+4)
-SLICE_X = 32  # window cols read: 8-aligned origin + remainder<8 + WIN <= 32
+EB = 32  # edges per block (amortizes per-grid-step pipeline overhead)
+SLICE_Y = 10  # window rows read (= WIN = 2r+4 for r=3)
+SLICE_X = 24  # window cols read: 8-aligned origin + remainder<8 + WIN <= 24
 # (Mosaic requires the dynamic offset in the second-to-minor dim to be a
 # multiple of 8; the x origin is rounded down to 8 and the remainder is
 # resolved by an 8-way select outside the kernel)
+PAD_Y = 8  # >= SLICE_Y - (r + 1)
+PAD_X = 24  # >= 8-alignment slack + SLICE_X - (r + 1)
 
 
 def _corr_kernel(block_frame_ref, ixiy_ref, pf_ref, fmap_ref, out_ref):
     """One block: EB edges against one VMEM-resident frame.
 
     ixiy: [EB, 2] int32 in SMEM (y origin, 8-aligned x origin);
-    pf: [EB, 16, C] bf16; fmap: [1, H, W, C] bf16;
-    out: [EB, 16, 512] bf16 — (patch pixel, wy * 32 + wx).
+    pf: [EB, 9, C] bf16; fmap: [1, H, W, C] bf16;
+    out: [EB, 9, 240] bf16 — (patch pixel, wy * 24 + wx).
     """
     C = pf_ref.shape[-1]
     for e in range(EB):
@@ -50,9 +54,11 @@ def _corr_kernel(block_frame_ref, ixiy_ref, pf_ref, fmap_ref, out_ref):
         ix8 = pl.multiple_of(ixiy_ref[e, 1], 8)
         win = fmap_ref[0, pl.ds(iy, SLICE_Y), pl.ds(ix8, SLICE_X), :]
         win2 = win.reshape(SLICE_Y * SLICE_X, C)
-        pf_t = pf_ref[e].reshape(16, C).T  # [C, 16]
-        cw = jnp.dot(win2, pf_t, preferred_element_type=jnp.float32)
-        out_ref[e] = cw.T.astype(out_ref.dtype)  # [16, 512]
+        cw = jax.lax.dot_general(
+            pf_ref[e], win2, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [9, 240]
+        out_ref[e] = cw.astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("n_blocks",))
@@ -62,14 +68,15 @@ def corr_window_dot(block_frame, ixiy, pf, fmap, n_blocks: int):
     Args:
       block_frame: [n_blocks] int32 ring slot per edge block (host-sorted).
       ixiy: [n_blocks * EB, 2] int32 clamped window origins (top-left of the
-        SLICE x SLICE read; callers guarantee 0 <= origin <= dim - SLICE).
-      pf: [n_blocks * EB, 16, C] bf16 patch features (9 real + 7 zero rows).
+        SLICE_Y x SLICE_X read; callers guarantee origins stay in-bounds).
+      pf: [n_blocks * EB, 9, C] bf16 patch features.
       fmap: [R, H, W, C] bf16.
 
-    Returns: [n_blocks * EB, 16, 256] bf16 — corr[(e, p, wy * 16 + wx)].
+    Returns: [n_blocks * EB, 9, SLICE_Y * SLICE_X] bf16.
     """
     R, H, W, C = fmap.shape
     E2 = n_blocks * EB
+    SS = SLICE_Y * SLICE_X
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -77,27 +84,27 @@ def corr_window_dot(block_frame, ixiy, pf, fmap, n_blocks: int):
         in_specs=[
             pl.BlockSpec((EB, 2), lambda i, bf: (i, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((EB, 16, C), lambda i, bf: (i, 0, 0),
+            pl.BlockSpec((EB, 9, C), lambda i, bf: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, H, W, C), lambda i, bf: (bf[i], 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((EB, 16, 512), lambda i, bf: (i, 0, 0),
+        out_specs=pl.BlockSpec((EB, 9, SS), lambda i, bf: (i, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
         _corr_kernel,
-        out_shape=jax.ShapeDtypeStruct((E2, 16, 512), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((E2, 9, SS), jnp.bfloat16),
         grid_spec=grid_spec,
         interpret=jax.default_backend() != "tpu",  # CPU tests interpret
     )(block_frame, ixiy, pf, fmap)
 
 
-def _level_pallas(fmap, block_frame, pf16, center, radius: int,
+def _level_pallas(fmap, block_frame, pf9, center, radius: int,
                   n_blocks: int):
     """One pyramid level: window dot via Pallas + scalar bilinear blend.
 
-    The feature map is zero-padded by SLICE on every spatial side and center
+    The feature map is zero-padded on every spatial side and center
     coordinates are clamped into the frame, so window origins NEVER clamp:
     partial windows read exact zeros (matching the XLA path's per-pixel
     masking) and no per-edge shift correction is needed. Fully off-screen
@@ -107,6 +114,7 @@ def _level_pallas(fmap, block_frame, pf16, center, radius: int,
     r = radius
     D = 2 * r + 1
     WIN = 2 * r + 4
+    assert WIN <= SLICE_Y and WIN + 7 <= SLICE_X, "radius too large"
     E2 = n_blocks * EB
 
     cx = center[..., 0]
@@ -114,11 +122,6 @@ def _level_pallas(fmap, block_frame, pf16, center, radius: int,
     usable = (cx >= 0) & (cx <= W - 1) & (cy >= 0) & (cy <= H - 1)
     cxc = jnp.clip(cx, 0.0, W - 1.0)
     cyc = jnp.clip(cy, 0.0, H - 1.0)
-    # asymmetric zero-padding so window reads never clamp, sized to keep the
-    # double-buffered VMEM frame block under the 16 MB budget: y needs
-    # SLICE_Y - (r + 1) rows of margin, x needs SLICE_X + alignment slack
-    PAD_Y = 16
-    PAD_X = 32
     ix = jnp.floor(cxc).astype(jnp.int32) - (r + 1) + PAD_X
     iy = jnp.floor(cyc).astype(jnp.int32) - (r + 1) + PAD_Y
     fx = cxc - jnp.floor(cxc)
@@ -129,17 +132,17 @@ def _level_pallas(fmap, block_frame, pf16, center, radius: int,
     ix8 = (ix // 8) * 8
     rem = ix - ix8  # in [0, 8)
     ixiy = jnp.stack([iy, ix8], -1).astype(jnp.int32)
-    cw = corr_window_dot(block_frame, ixiy, pf16, fpad, n_blocks)
+    cw = corr_window_dot(block_frame, ixiy, pf9, fpad, n_blocks)
     # POST-PROCESSING LAYOUT: edge dim goes MINOR-most — every later tensor
     # has tiny window/patch dims, which TPU tiling would pad to 128 lanes
     # (measured 24 ms of pure padding traffic in the edge-major layout).
     # Stay bf16 until the blend to halve traffic.
-    cw = cw.reshape(E2, 16, SLICE_Y, SLICE_X).transpose(
+    cw = cw.reshape(E2, 9, SLICE_Y, SLICE_X).transpose(
         1, 2, 3, 0
     )  # [p, wy, wx, E] bf16
     # resolve the x-origin remainder with an 8-way masked select of static
     # slices (Mosaic needs 8-aligned dynamic x origins)
-    cwin = jnp.zeros((16, WIN, WIN, E2), jnp.bfloat16)
+    cwin = jnp.zeros((9, WIN, WIN, E2), jnp.bfloat16)
     for s in range(8):
         sel = (rem == s)[None, None, None, :]
         cwin = cwin + sel.astype(jnp.bfloat16) * cw[:, :WIN, s: s + WIN, :]
@@ -179,13 +182,10 @@ def patch_correlation_pallas(
     """
     E2, _, _, C = pf_sorted.shape
     D = 2 * radius + 1
-    pf16 = jnp.zeros((E2, 16, C), jnp.bfloat16)
-    pf16 = pf16.at[:, :9].set(
-        pf_sorted.reshape(E2, 9, C).astype(jnp.bfloat16)
-    )
-    c1 = _level_pallas(fmap1, block_frame, pf16, center_sorted,
+    pf9 = pf_sorted.reshape(E2, 9, C).astype(jnp.bfloat16)
+    c1 = _level_pallas(fmap1, block_frame, pf9, center_sorted,
                        radius, n_blocks)  # [9, D, D, E]
-    c2 = _level_pallas(fmap2, block_frame, pf16, center_sorted * 0.5,
+    c2 = _level_pallas(fmap2, block_frame, pf9, center_sorted * 0.5,
                        radius, n_blocks)
     out = jnp.stack([c1, c2], axis=0).reshape(2 * 9 * D * D, E2)
     return out.T / jnp.sqrt(jnp.asarray(C, jnp.float32))

@@ -196,6 +196,19 @@ def dense_bundle_adjust(
         touched = jnp.zeros((N,), bool).at[ii].max(edge_valid)
         dz = jnp.where(touched[:, None] & jnp.isfinite(dz), dz, 0.0)
 
+        # marginal depth covariance from THIS linearization (reference
+        # droid_slam.py:676-725 computes the same quantity via a dense
+        # Cholesky of the reduced camera matrix):
+        #   Sigma_d = C^-1 + C^-1 U S^-1 U^T C^-1
+        # with S the (damped) Schur pose Hessian already assembled above.
+        Pcov = jnp.linalg.inv(H)  # [P*6, P*6] — small window system
+        Uf = U.reshape(N, hw, P * 6)
+        quad = jnp.einsum(
+            "nha,ab,nhb->nh", Uf, Pcov, Uf, precision=_HI
+        )
+        cov = Cinv + Cinv * quad * Cinv
+        cov = jnp.where(touched[:, None], cov, 1e6).reshape(N, h, w)
+
         pose_slot = slot_map
         xi_full = jnp.where(
             (pose_slot >= 0)[:, None],
@@ -205,12 +218,12 @@ def dense_bundle_adjust(
         disps = jnp.clip(
             disps + dz.reshape(N, h, w), disp_clip[0], disp_clip[1]
         )
-        return (poses, disps), jnp.sum(wm * r * r)
+        return (poses, disps), (jnp.sum(wm * r * r), cov)
 
-    (poses, disps), costs = jax.lax.scan(
+    (poses, disps), (costs, covs) = jax.lax.scan(
         gn_iteration, (problem.poses, problem.disps), None, length=num_iters
     )
-    return poses, disps, costs
+    return poses, disps, costs, covs[-1]
 
 
 def frame_distance(poses, disps, intrinsics, ii, jj, beta: float = 0.3):

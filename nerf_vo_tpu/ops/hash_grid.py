@@ -1,28 +1,35 @@
-"""Multiresolution hash-grid encoding (Instant-NGP style) for TPU.
+"""Multiresolution brick-hash-grid encoding (Instant-NGP capability, TPU-native).
 
 TPU-native replacement for tiny-cuda-nn's HashGrid encoding (reference
 submodule N6, consumed by pyngp and nerfstudio's nerfacto fields — SURVEY.md
-§2.2). Technique per Müller et al., "Instant Neural Graphics Primitives with a
-Multiresolution Hash Encoding" (https://arxiv.org/abs/2201.05989).
+§2.2). Capability per Müller et al., "Instant Neural Graphics Primitives with
+a Multiresolution Hash Encoding" (https://arxiv.org/abs/2201.05989); the data
+structure is REDESIGNED for TPU memory behavior rather than ported:
 
-Design notes (TPU-first, not a CUDA translation):
-  * All L levels share one flat table laid out ``[F, L * T]`` — the FEATURE
-    axis major and the huge table axis minor-most, so TPU tiling (last dim
-    padded to 128 lanes) pads nothing. A ``[L*T, F=2]`` layout would be
-    lane-padded 2->128 (64x HBM blowup); measured on v5e, the naive
-    ``[N, L, 8, 3]`` corner tensors alone cost 4.5 GB of padding and OOM the
-    chip at the production batch size.
-  * Every large intermediate is laid out ``[..., N]`` with the sample count N
-    minor-most: corner hashes/weights are ``[8, L, N]``, gathered features
-    ``[F, 8, L, N]``. The per-axis hash components are computed separately
-    and XOR-combined per corner, so no ``[..., 3]``-trailing tensor is ever
-    materialized.
-  * The forward pass is one fused gather; the backward pass is one XLA
-    scatter-add, which lowers to a sort + segmented reduction on TPU (no
-    atomics; this IS the TPU-idiomatic equivalent of tiny-cuda-nn's
-    atomicAdd accumulation).
-  * Static shapes everywhere: levels/corners are unrolled into array dims, no
-    per-level Python loops inside jit beyond construction-time constants.
+  * tiny-cuda-nn gathers 8 scalar corner entries per (sample, level) and
+    relies on the GPU's L2 to coalesce them. TPU gathers cost ~6-15 ns per
+    DESCRIPTOR regardless of width (measured on v5e: 25M-element gathers
+    = 146 ms — 100x the HBM-bandwidth cost), so the unit of storage here is
+    a BRICK: the 3x3x3 corner lattice of a 2x2x2-cell region, stored as one
+    table column. All 8 trilinear corners of any cell live in its brick, so
+    each (sample, level) needs exactly ONE gather — 8x fewer descriptors,
+    and each descriptor moves a full [32*F] column.
+  * bricks duplicate shared corner entries across brick boundaries (a 27/8
+    storage apron, the classic texture-brick trade). Corner copies are
+    trained independently, so the interpolated field may be C0-discontinuous
+    at even cell boundaries — same order of artifact as NGP's hash
+    collisions, and empirically absorbed by the MLP + multi-level averaging.
+  * levels whose brick lattice fits the table are DENSE (collision-free);
+    finer levels hash the brick coordinate with NGP's spatial primes.
+  * the gather is SPLIT into 4 independent takes (measured 2x: the DMA
+    engines overlap) over a table whose minor axis is the brick index
+    (lane tiling pads nothing); trilinear interpolation is a separable
+    weight outer-product + a 32-way reduction — pure VPU work, no
+    take_along_axis.
+  * the backward scatter-add lands on [32*F, bricks] COLUMNS (measured
+    ~20 ns/descriptor vs ~14 ns/ELEMENT for flat scatters), again 8x fewer
+    descriptors than per-corner accumulation. Autodiff handles it — the op
+    stays twice-differentiable for gradient-normal losses.
 """
 
 from __future__ import annotations
@@ -37,18 +44,26 @@ import jax.numpy as jnp
 # Spatial hash primes from the Instant-NGP paper (π1=1 for coherent x-axis).
 _PRIMES = (1, 2654435761, 805459861)
 
+_BRICK = 27  # 3x3x3 corner lattice of a 2x2x2-cell region
+_BRICK_PAD = 32  # padded column height per feature
+_GATHER_SPLITS = 4  # independent takes per gather (DMA overlap, measured 2x)
+
 
 @dataclasses.dataclass(frozen=True)
 class HashGridConfig:
     n_levels: int = 16
     features_per_level: int = 2
-    log2_table_size: int = 19
+    log2_table_size: int = 19  # per-level ENTRY capacity (bricks = T/32)
     base_resolution: int = 16
     max_resolution: int = 2048
 
     @property
     def table_size(self) -> int:
         return 1 << self.log2_table_size
+
+    @property
+    def bricks_per_level(self) -> int:
+        return max(self.table_size // _BRICK_PAD, 1)
 
     @property
     def output_dim(self) -> int:
@@ -69,17 +84,78 @@ class HashGridConfig:
 
 
 def init_tables(key, config: HashGridConfig, dtype=jnp.float32):
-    """Table init U(-1e-4, 1e-4) as in Instant-NGP. Shape [F, L*T]
-    (feature-major: see module docstring for why)."""
-    shape = (config.features_per_level, config.n_levels * config.table_size)
+    """Table init U(-1e-4, 1e-4) as in Instant-NGP.
+
+    Shape [32*F, L*NB]: column = one brick (27 corner entries + 5 pad rows,
+    entry-major / feature-minor), minor axis = brick index (TPU lane tiling
+    pads nothing on the huge axis).
+    """
+    F = config.features_per_level
+    shape = (_BRICK_PAD * F, config.n_levels * config.bricks_per_level)
     return jax.random.uniform(key, shape, dtype, minval=-1e-4, maxval=1e-4)
 
 
+def _brick_ids(c_brick, res: int, n_bricks: int, level: int):
+    """Brick index per sample for one level: dense when the brick lattice
+    fits the table, NGP spatial hash otherwise. c_brick: [3, N] int32."""
+    bpa = ((res - 1) >> 1) + 1  # bricks per axis
+    if bpa ** 3 <= n_bricks:
+        bid = (c_brick[0] * bpa + c_brick[1]) * bpa + c_brick[2]
+    else:
+        h = (
+            c_brick[0].astype(jnp.uint32) * jnp.uint32(_PRIMES[0])
+            ^ c_brick[1].astype(jnp.uint32) * jnp.uint32(_PRIMES[1])
+            ^ c_brick[2].astype(jnp.uint32) * jnp.uint32(_PRIMES[2])
+        )
+        bid = (h % jnp.uint32(n_bricks)).astype(jnp.int32)
+    return bid + level * n_bricks
+
+
+def _split_take(tables, idx):
+    """Gather table columns with the take split into independent chunks —
+    the DMA engines overlap them (measured 2x vs one take)."""
+    M = idx.shape[0]
+    k = M // _GATHER_SPLITS
+    if k * _GATHER_SPLITS != M:
+        return jnp.take(tables, idx, axis=1)
+    parts = [
+        jnp.take(tables, idx[j * k: (j + 1) * k], axis=1)
+        for j in range(_GATHER_SPLITS)
+    ]
+    return jnp.concatenate(parts, axis=1)
+
+
+@jax.custom_vjp
+def _gather_cols(tables, idx):
+    """Brick-column gather with mixed-precision autodiff: the forward
+    gathers a bf16 SHADOW of the f32 table (halves descriptor payloads —
+    measured 2x), while the backward scatter-adds cotangents in full f32
+    (bf16 accumulation would decimate gradients on heavily-shared coarse
+    bricks). Linear in ``tables``, so the custom VJP is exact."""
+    return _split_take(tables.astype(jnp.bfloat16), idx)
+
+
+def _gather_cols_fwd(tables, idx):
+    return _gather_cols(tables, idx), (idx, tables.shape)
+
+
+def _gather_cols_bwd(res, g):
+    idx, shape = res
+    # one column scatter-add (measured ~17 ns/descriptor; splitting into
+    # parallel buffers gives no overlap gain and costs HBM)
+    return jnp.zeros(shape, jnp.float32).at[:, idx].add(
+        g.astype(jnp.float32)
+    ), None
+
+
+_gather_cols.defvjp(_gather_cols_fwd, _gather_cols_bwd)
+
+
 def hash_encode(tables, x, config: HashGridConfig):
-    """Encode points with the multiresolution hash grid.
+    """Encode points with the multiresolution brick grid.
 
     Args:
-      tables: [F, L*T] feature table (feature-major layout).
+      tables: [32*F, L*NB] table (see init_tables).
       x: [..., 3] positions in the unit cube [0, 1]^3 (values outside are
         clamped; callers apply scene contraction first).
 
@@ -91,55 +167,52 @@ def hash_encode(tables, x, config: HashGridConfig):
     n = math.prod(batch_shape) if batch_shape else 1
     L = config.n_levels
     F = config.features_per_level
+    NB = config.bricks_per_level
 
     # [3, N] with the big axis minor-most from here on
     xt = jnp.clip(x.reshape(-1, 3).astype(jnp.float32), 0.0, 1.0).T
-    res = jnp.asarray(config.resolutions, jnp.float32)  # [L]
-    xs = xt[:, None, :] * res[None, :, None]  # [3, L, N]
-    x0f = jnp.floor(xs)
-    frac = xs - x0f  # [3, L, N]
-    x0 = x0f.astype(jnp.int32)
+    res_list = config.resolutions
 
-    # per-axis hashed corner components: h[a][b] = (x0_a + b) * prime_a
-    h0 = [x0[a].astype(jnp.uint32) * jnp.uint32(_PRIMES[a]) for a in range(3)]
-    h1 = [
-        (x0[a] + 1).astype(jnp.uint32) * jnp.uint32(_PRIMES[a])
-        for a in range(3)
-    ]
-    w1 = [frac[a] for a in range(3)]
-    w0 = [1.0 - frac[a] for a in range(3)]
+    ids = []  # L x [N]
+    fr = []  # L x [3, N] fractional offsets
+    loc = []  # L x [3, N] in-brick base corner (0 or 1 per axis)
+    for l, res in enumerate(res_list):
+        xs = xt * float(res)
+        c = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, res - 1)
+        fr.append(xs - jnp.floor(xs))
+        loc.append(c & 1)
+        ids.append(_brick_ids(c >> 1, res, NB, l))
+    idx = jnp.stack(ids).reshape(-1)  # [L*N]
+    frac = jnp.stack(fr, 1)  # [3, L, N]
+    local = jnp.stack(loc, 1)  # [3, L, N]
 
-    level_offset = (
-        jnp.arange(L, dtype=jnp.uint32)[:, None] * jnp.uint32(config.table_size)
-    )  # [L, 1]
-    mask = jnp.uint32(config.table_size - 1)
+    cols = _gather_cols(tables, idx)  # [32*F, L*N] bf16
+    g = cols.reshape(_BRICK_PAD, F, L * n).astype(jnp.float32)
 
-    idx = []  # 8 x [L, N]
-    w = []  # 8 x [L, N]
-    for c in range(8):
-        bx, by, bz = c & 1, (c >> 1) & 1, (c >> 2) & 1
-        h = (h1[0] if bx else h0[0]) ^ (h1[1] if by else h0[1]) ^ (
-            h1[2] if bz else h0[2]
-        )
-        idx.append(((h & mask) + level_offset).astype(jnp.int32))
-        w.append(
-            (w1[0] if bx else w0[0])
-            * (w1[1] if by else w0[1])
-            * (w1[2] if bz else w0[2])
-        )
-    idx = jnp.stack(idx)  # [8, L, N]
-    w = jnp.stack(w)  # [8, L, N]
-
-    # gather along the minor table axis: [F, 8*L*N] -> [F, 8, L, N]
-    feats = jnp.take(tables, idx.reshape(-1), axis=1).reshape(
-        F, 8, L, n
+    # separable trilinear weights on the 3x3x3 brick lattice:
+    # w_axis[i] = (1-f)*d(i=lo) + f*d(i=lo+1), i in {0,1,2}
+    i3 = jnp.arange(3, dtype=jnp.int32)
+    w_ax = []
+    for a in range(3):
+        lo = local[a].reshape(1, -1)  # [1, L*N]
+        f = frac[a].reshape(1, -1)
+        w = (i3[:, None] == lo) * (1.0 - f) + (i3[:, None] == lo + 1) * f
+        w_ax.append(w)  # [3, L*N]
+    # W[(i*3+j)*3+k] = wx[i]*wy[j]*wz[k], padded to 32 rows
+    W = (
+        w_ax[0][:, None, None, :]
+        * w_ax[1][None, :, None, :]
+        * w_ax[2][None, None, :, :]
+    ).reshape(_BRICK, -1)  # [27, L*N]
+    W = jnp.concatenate(
+        [W, jnp.zeros((_BRICK_PAD - _BRICK, W.shape[1]), W.dtype)], axis=0
     )
-    out = jnp.einsum(
-        "fcln,cln->fln", feats.astype(jnp.float32), w,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # [F, L, N]
+
+    out = jnp.sum(g * W[:, None, :], axis=0)  # [F, L*N]
     # -> [N, L*F] with feature minor within level
-    out = out.transpose(2, 1, 0).reshape(batch_shape + (L * F,))
+    out = out.reshape(F, L, n).transpose(2, 1, 0).reshape(
+        batch_shape + (L * F,)
+    )
     return out
 
 

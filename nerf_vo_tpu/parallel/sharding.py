@@ -51,11 +51,11 @@ def make_dp_train_step(trainer: MappingTrainer, mesh: Mesh, axis: str = "data"):
         "rays_per_batch must be divisible by mesh size"
     )
 
-    def loss_fn(params, pose_deltas, buffer, key):
+    def loss_fn(params, pose_deltas, buffer, key, occ_grid):
         k_sample, k_render = jax.random.split(key)
         deltas = pose_deltas if trainer.config.optimize_extrinsics else None
         batch = kb.sample_ray_batch(buffer, deltas, k_sample, per_dev)
-        return trainer.model.loss(params, batch, k_render)
+        return trainer.model.loss(params, batch, k_render, occ_grid=occ_grid)
 
     @functools.partial(
         jax.shard_map,
@@ -65,10 +65,14 @@ def make_dp_train_step(trainer: MappingTrainer, mesh: Mesh, axis: str = "data"):
         check_vma=False,
     )
     def dp_step(state: TrainState, buffer, key):
-        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        dev_key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        occ = (
+            jax.lax.stop_gradient(state.occ_grid)
+            if state.occ_grid is not None else None
+        )
         (loss, metrics), grads = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True
-        )(state.params, state.pose_deltas, buffer, key)
+        )(state.params, state.pose_deltas, buffer, dev_key, occ)
         g_params, g_pose = grads
         g_params = jax.lax.pmean(g_params, axis)
         g_pose = jax.lax.pmean(g_pose, axis)
@@ -85,12 +89,25 @@ def make_dp_train_step(trainer: MappingTrainer, mesh: Mesh, axis: str = "data"):
         else:
             pose_deltas = state.pose_deltas
             cam_opt_state = state.cam_opt_state
+        occ_grid = state.occ_grid
+        if occ_grid is not None:
+            # replicated refresh: same key on every device -> identical grids
+            occ_cfg = trainer.model.config.occupancy
+            occ_grid = jax.lax.cond(
+                state.step % occ_cfg.update_every == 0,
+                lambda g: trainer.model.refresh_occupancy(
+                    params, g, state.step, jax.random.fold_in(key, 1)
+                ),
+                lambda g: g,
+                occ_grid,
+            )
         new_state = TrainState(
             params=params,
             pose_deltas=pose_deltas,
             opt_state=opt_state,
             cam_opt_state=cam_opt_state,
             step=state.step + 1,
+            occ_grid=occ_grid,
         )
         return new_state, metrics
 

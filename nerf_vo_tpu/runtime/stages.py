@@ -248,6 +248,9 @@ class MappingStage:
             use_contraction=not ngp,
             aabb_min=-4.0,
             aabb_max=4.0,
+            # NGP path: occupancy-grid empty-space skipping instead of
+            # proposal networks (reference pyngp Testbed, SURVEY N5)
+            sampler="occupancy" if ngp else "proposal",
         )
         self.model = NerfactoModel(model_cfg)
         self.trainer = MappingTrainer(

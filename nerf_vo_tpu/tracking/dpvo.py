@@ -103,9 +103,9 @@ class DPVOTracker:
         self.retired: List[int] = []  # gids retired, in order
         self._rng = jax.random.PRNGKey(0)
 
-        self._encode = jax.jit(self._encode_impl)
-        self._append = jax.jit(
-            self._append_impl, static_argnames=("pose_mode",),
+        self._pending_kf_checks: List[Any] = []
+        self._encode_append = jax.jit(
+            self._encode_append_impl, static_argnames=("pose_mode",),
             donate_argnames=(
                 "fmap1", "fmap2", "gmap", "imap", "pt_xy", "pt_invd",
                 "intrinsics4", "poses",
@@ -169,39 +169,115 @@ class DPVOTracker:
             poses = poses.at[gid].set(lie.se3_mul(motion, g1))
         return fmap1, fmap2, gmap, imap, pt_xy, pt_invd, intrinsics4, poses
 
+    def _encode_append_impl(self, params, image_u8, key, fmap1, fmap2, gmap,
+                            imap, pt_xy, pt_invd, intrinsics4, poses, slot,
+                            gid, intr, prev1, prev2, pose_mode: int):
+        """Fused per-frame ingest: one dispatch instead of three (median +
+        encode + append). The image arrives as uint8 and is cast on device —
+        the tunnel's H2D path moves ~50-60 MB/s, so shipping f32 frames cost
+        a measured 45 ms/frame vs 17 ms for uint8."""
+        init_invd = (
+            jnp.median(pt_invd[prev1]) if pose_mode > 0
+            else jnp.asarray(1.0, pt_invd.dtype)
+        )
+        f1, f2, gm, im, centers, invd = self._encode_impl(
+            params, image_u8.astype(jnp.float32), key, init_invd
+        )
+        return self._append_impl(
+            fmap1, fmap2, gmap, imap, pt_xy, pt_invd, intrinsics4, poses,
+            slot, gid, f1, f2, gm, im, centers, invd, intr, prev1, prev2,
+            pose_mode,
+        )
+
     def _vo_update_impl(
         self,
         params,
         poses,
-        pt_xy_k,      # [KL, 2] alive patch centers (1/4 res)
+        pt_xy,        # [N, P, 2] full patch-center buffer
         pt_invd,      # [N, P] full inverse-depth buffer
-        alive_patch_g,  # [KL] global patch ids (frame*P + p), -1 pad
-        pt_host_k,    # [KL] host frame gid per alive patch
         intrinsics4,
         fmap1, fmap2, gmap, imap,
         hidden, e_target,
-        e_kk_local,   # [E] index into alive patches (edge buffer order)
-        e_jj,         # [E] target frame gid
-        e_jj_ring,    # [E] target ring slot
-        e_host_ring,  # [E] host ring slot
-        e_new,        # [E] bool: first update for this edge
-        e_live,       # [E] bool
-        slot_map,     # [N] BA slot map
-        perm,         # [E2] sorted-edge permutation (or None: XLA corr)
-        inv_perm,     # [E] inverse permutation
-        block_frame,  # [E2/EB] ring slot per pallas block
+        meta,         # ONE packed uint8 H2D buffer (~340 KB; the tunnel
+                      # moves ~50-60 MB/s, so int32 metadata cost ~19 ms a
+                      # frame): e_host i16 [E] | e_patch u8 [E] | e_jj i16
+                      # [E] | fresh u8 [E] | hosts i16 [LIFE] | ring_lookup
+                      # i8 [N] | slot_map i16 [N] | kf_pair i16 [2] |
+                      # optional perm u16 [E2] | inv u16 [E] | blocks u8.
+                      # Redundant per-edge fields (kk_local, rings,
+                      # liveness) are DERIVED on device from these.
         ba_iters: int,
     ):
-        """One tracking update: correlate -> update net -> BA.
+        """One tracking update: correlate -> update net -> BA (+ pipelined
+        keyframe flow-distance for frames fd_i -> fd_j).
 
         The edge buffer IS the layout: edge arrays are indexed by slot
         directly (no indirection), so hidden/e_target scatter back in place.
         """
         cfg = self.cfg
         P = cfg.patches_per_frame
-        E = e_jj.shape[0]
-        KL = pt_xy_k.shape[0]
         R = cfg.ring_size
+        E = cfg.max_edges
+        LIFE = cfg.patch_lifetime
+        KL = LIFE * P
+        N = cfg.max_frames
+
+        o = 0
+
+        def take(n):
+            nonlocal o
+            s = meta[o: o + n]
+            o += n
+            return s
+
+        def as16(b, signed=True):
+            t = jnp.int16 if signed else jnp.uint16
+            return jax.lax.bitcast_convert_type(
+                b.reshape(-1, 2), t
+            ).astype(jnp.int32)
+
+        e_host = as16(take(2 * E))
+        e_patch = take(E).astype(jnp.int32)
+        e_jj = as16(take(2 * E))
+        e_new = take(E).astype(bool)
+        hosts = as16(take(2 * LIFE))
+        ring_lookup = jax.lax.bitcast_convert_type(
+            take(N), jnp.int8
+        ).astype(jnp.int32)
+        slot_map = as16(take(2 * N))
+        kf = as16(take(4))
+        fd_i, fd_j = kf[0], kf[1]
+        perm_pack = take(meta.shape[0] - o) if meta.shape[0] > o else None
+
+        # derive per-edge metadata on device
+        host_ok = hosts >= 0
+        hp = jnp.full((N + 1,), -1, jnp.int32).at[
+            jnp.where(host_ok, hosts, N)
+        ].set(jnp.arange(LIFE, dtype=jnp.int32))
+        hostpos = hp[:N]
+
+        alive_patch_g = jnp.where(
+            host_ok[:, None],
+            hosts[:, None] * P + jnp.arange(P)[None, :],
+            -1,
+        ).reshape(KL)
+        pt_host_k = jnp.broadcast_to(
+            jnp.where(host_ok, hosts, 0)[:, None], (LIFE, P)
+        ).reshape(KL)
+
+        e_host_c = jnp.clip(e_host, 0, N - 1)
+        e_jj_c = jnp.clip(e_jj, 0, N - 1)
+        base = hostpos[e_host_c]
+        e_host_ring = ring_lookup[e_host_c]
+        e_jj_ring = ring_lookup[e_jj_c]
+        e_kk_local = jnp.clip(base * P + e_patch, 0, KL - 1)
+        e_live = (
+            (e_host >= 0) & (e_jj >= 0) & (base >= 0)
+            & (e_host_ring >= 0) & (e_jj_ring >= 0)
+        )
+        pt_xy_k = pt_xy.reshape(-1, 2)[
+            jnp.clip(alive_patch_g, 0, pt_xy.size // 2 - 1)
+        ]
 
         kk = jnp.clip(e_kk_local, 0, KL - 1)
         flat_invd = pt_invd.reshape(-1)
@@ -216,19 +292,31 @@ class DPVOTracker:
         )
 
         # correlation features around the reprojected centers (bf16 gather)
-        pf = gmap[jnp.clip(e_host_ring, 0, R - 1), kk % P]
-        if perm is not None:
+        ring_i_c = jnp.clip(e_host_ring, 0, R - 1)
+        kk_p = kk % P
+        if perm_pack is not None:
             from nerf_vo_tpu.ops.correlation_pallas import (
                 EB as _EB,
                 patch_correlation_pallas,
             )
 
+            E2 = cfg.max_edges + cfg.ring_size * _EB
+            u16 = lambda b: jax.lax.bitcast_convert_type(
+                b.reshape(-1, 2), jnp.uint16
+            ).astype(jnp.int32)
+            perm = u16(perm_pack[: 2 * E2])
+            inv_perm = u16(perm_pack[2 * E2: 2 * E2 + 2 * E])
+            block_frame = perm_pack[2 * E2 + 2 * E:].astype(jnp.int32)
+            # gather gmap straight into sorted order (composing the perm
+            # into the gather indices saves a [E2, 9, C] re-permute pass)
+            pf_s = gmap[ring_i_c[perm], kk_p[perm]]
             corr_s = patch_correlation_pallas(
-                pf[perm], fmap1, fmap2, block_frame, center[perm],
-                radius=cfg.corr_radius, n_blocks=perm.shape[0] // _EB,
+                pf_s, fmap1, fmap2, block_frame, center[perm],
+                radius=cfg.corr_radius, n_blocks=E2 // _EB,
             )
             corr = corr_s[inv_perm]
         else:
+            pf = gmap[ring_i_c, kk_p]
             corr = patch_correlation(
                 pf, fmap1, fmap2,
                 jnp.clip(e_jj_ring, 0, R - 1), center,
@@ -273,7 +361,13 @@ class DPVOTracker:
 
         hidden = jnp.where(e_live[:, None], h, hidden)
         e_target = jnp.where(e_live[:, None], target, e_target)
-        return new_poses, pt_invd, hidden, e_target, costs
+
+        # pipelined keyframe decision input: flow distance fd_i -> fd_j on
+        # the just-optimized state (read back asynchronously by the host)
+        dist = self._frame_distance_impl(
+            new_poses, pt_xy, pt_invd, intrinsics4, fd_i, fd_j
+        )
+        return new_poses, pt_invd, hidden, e_target, costs, dist
 
     def _frame_distance_impl(self, poses, pt_xy, pt_invd, intrinsics4, a, b):
         """Mean optical-flow magnitude of frame a's patches reprojected into b
@@ -379,16 +473,6 @@ class DPVOTracker:
         # frame would trigger fresh (remote, minutes-long) XLA compiles.
         gid_d = jnp.asarray(gid, jnp.int32)
         self._rng, key = jax.random.split(self._rng)
-        prev_med = (
-            jnp.median(
-                self.pt_invd[jnp.asarray(self.frame_gids[-1], jnp.int32)]
-            )
-            if self.frame_gids
-            else jnp.asarray(1.0)
-        )
-        f1, f2, gm, im, centers, invd = self._encode(
-            self.params, jnp.asarray(image, jnp.float32), key, prev_med
-        )
         slot = self._alloc_ring(gid)
         pose_mode = min(len(self.frame_gids), 2)
         prev1 = jnp.asarray(
@@ -398,11 +482,12 @@ class DPVOTracker:
             self.frame_gids[-2] if len(self.frame_gids) >= 2 else 0, jnp.int32
         )
         (self.fmap1, self.fmap2, self.gmap, self.imap, self.pt_xy,
-         self.pt_invd, self.intrinsics4, self.poses) = self._append(
+         self.pt_invd, self.intrinsics4, self.poses) = self._encode_append(
+            self.params, jnp.asarray(image, jnp.uint8), key,
             self.fmap1, self.fmap2, self.gmap, self.imap, self.pt_xy,
             self.pt_invd, self.intrinsics4, self.poses,
-            jnp.asarray(slot, jnp.int32), gid_d, f1, f2, gm, im, centers,
-            invd, jnp.asarray(intrinsics, jnp.float32), prev1, prev2,
+            jnp.asarray(slot, jnp.int32), gid_d,
+            jnp.asarray(intrinsics, jnp.float32), prev1, prev2,
             pose_mode=pose_mode,
         )
 
@@ -417,49 +502,59 @@ class DPVOTracker:
         if not self.is_initialized:
             if len(self.frame_gids) >= cfg.init_frames:
                 for _ in range(cfg.init_iterations):
-                    self._run_update()
+                    self._run_update(queue_kf=False)
                 self.is_initialized = True
         else:
-            for _ in range(cfg.update_iterations):
-                self._run_update()
-            self._keyframe_logic()
+            for it in range(cfg.update_iterations):
+                self._run_update(queue_kf=it == cfg.update_iterations - 1)
+            self._resolve_kf_checks()
             retired = self._retire()
         return retired
 
     # ------------------------------------------------------------------
 
-    def _run_update(self) -> None:
+    def _run_update(self, queue_kf: bool = False) -> None:
         cfg = self.cfg
         P = cfg.patches_per_frame
         E = cfg.max_edges
         if not self.e_valid.any():
             return
 
+        # keyframe-candidate pair whose flow distance rides along with this
+        # update (resolved asynchronously 2 frames later)
+        kf_pair = (0, 0)
+        kf_mid = None
+        if queue_kf and len(self.frame_gids) > cfg.keyframe_index + 2:
+            mid = self.frame_gids[-cfg.keyframe_index]
+            if mid > 1:  # never drop gauge anchors
+                kf_pair = (
+                    self.frame_gids[-cfg.keyframe_index - 1],
+                    self.frame_gids[-cfg.keyframe_index + 1],
+                )
+                kf_mid = mid
+
         # alive patches = patches of the last patch_lifetime frames
         hosts = self.frame_gids[-cfg.patch_lifetime:]
-        KL = cfg.patch_lifetime * P
-        alive_patch_g = np.full(KL, -1, np.int64)
-        pt_host = np.zeros(KL, np.int32)
+        hosts_arr = np.full(cfg.patch_lifetime, -1, np.int16)
+        hosts_arr[: len(hosts)] = hosts
         base_lookup = np.full(cfg.max_frames, -1, np.int64)
-        ring_lookup = np.full(cfg.max_frames, -1, np.int32)
+        ring_lookup = np.full(cfg.max_frames, -1, np.int8)
         for g, s in self.ring_of.items():
             ring_lookup[g] = s
         for i, hgid in enumerate(hosts):
             base_lookup[hgid] = i * P
-            alive_patch_g[i * P: (i + 1) * P] = hgid * P + np.arange(P)
-            pt_host[i * P: (i + 1) * P] = hgid
 
-        # vectorized edge metadata (buffer-slot order, one static shape)
+        # host-side liveness/ring metadata (the device re-derives these from
+        # the packed buffer; here they only drive the edge sort)
         e_host_g = np.clip(self.e_patch_g // P, 0, cfg.max_frames - 1)
         e_jj_c = np.clip(self.e_jj_g, 0, cfg.max_frames - 1)
         base = base_lookup[e_host_g]
-        ring_j = ring_lookup[e_jj_c]
-        ring_i = ring_lookup[e_host_g]
+        ring_j = ring_lookup[e_jj_c].astype(np.int64)
+        ring_i = ring_lookup[e_host_g].astype(np.int64)
         live = (
             self.e_valid & (self.e_patch_g >= 0) & (self.e_jj_g >= 0)
             & (base >= 0) & (ring_j >= 0) & (ring_i >= 0)
         )
-        kk_local = np.where(live, base + self.e_patch_g % P, 0).astype(np.int32)
 
         # BA window: last optimization_window alive frames free, except the
         # global gauge anchors (first two frames)
@@ -471,8 +566,6 @@ class DPVOTracker:
                 continue
             slot_map[g] = nslot
             nslot += 1
-
-        pt_xy_k = self.pt_xy.reshape(-1, 2)[np.clip(alive_patch_g, 0, None)]
 
         # edge sort for the Pallas correlation kernel: per-ring contiguous
         # runs padded to EB-blocks, so each block reads ONE frame's features
@@ -507,74 +600,75 @@ class DPVOTracker:
             if flat.size:
                 uniq, first_idx = np.unique(flat, return_index=True)
                 inv_np[uniq] = first_idx
-            perm = jnp.asarray(perm_np, jnp.int32)
-            inv_perm = jnp.asarray(inv_np, jnp.int32)
-            block_frame = jnp.asarray(np.asarray(blocks, np.int32))
+            perm_parts = [perm_np.astype(np.uint16), inv_np.astype(np.uint16),
+                          np.asarray(blocks, np.uint8)]
+        else:
+            perm_parts = []
 
-        (self.poses, self.pt_invd, self.hidden, self.e_target, costs
+        # ONE packed ~340 KB uint8 H2D transfer for all host metadata
+        # (the tunnel moves ~50-60 MB/s: int32 fields cost ~19 ms/frame)
+        e_host16 = np.where(
+            self.e_patch_g >= 0, self.e_patch_g // P, -1
+        ).astype(np.int16)
+        e_patch8 = np.where(
+            self.e_patch_g >= 0, self.e_patch_g % P, 0
+        ).astype(np.uint8)
+        sections = [
+            e_host16,
+            e_patch8,
+            self.e_jj_g.astype(np.int16),
+            self.e_fresh.astype(np.uint8),
+            hosts_arr,
+            ring_lookup,
+            slot_map.astype(np.int16),
+            np.asarray(kf_pair, np.int16),
+        ] + perm_parts
+        meta = jnp.asarray(
+            np.concatenate([np.ascontiguousarray(s).view(np.uint8).ravel()
+                            for s in sections])
+        )
+        (self.poses, self.pt_invd, self.hidden, self.e_target, costs, dist
          ) = self._vo_update(
             self.params,
             self.poses,
-            pt_xy_k,
+            self.pt_xy,
             self.pt_invd,
-            jnp.asarray(alive_patch_g),
-            jnp.asarray(pt_host),
             self.intrinsics4,
             self.fmap1, self.fmap2, self.gmap, self.imap,
             self.hidden, self.e_target,
-            jnp.asarray(kk_local),
-            jnp.asarray(np.clip(self.e_jj_g, 0, None).astype(np.int32)),
-            jnp.asarray(np.clip(ring_j, 0, None)),
-            jnp.asarray(np.clip(ring_i, 0, None)),
-            jnp.asarray(self.e_fresh.copy()),
-            jnp.asarray(live),
-            jnp.asarray(slot_map),
-            perm,
-            inv_perm,
-            block_frame,
+            meta,
             ba_iters=cfg.ba_iterations,
         )
         self.e_fresh[live] = False
+        if kf_mid is not None:
+            try:
+                dist.copy_to_host_async()
+            except Exception:
+                pass
+            self._pending_kf_checks.append((kf_mid, dist))
 
-    def _keyframe_logic(self) -> None:
+    def _resolve_kf_checks(self) -> None:
         """Drop frame (n - KEYFRAME_INDEX) if local motion is below the
         keyframe threshold (reference policy [upstream]; thresh from
         configs/*.yaml keyframe_threshold).
 
-        The flow-distance readback is PIPELINED: the decision for the frame
-        queued last step is resolved now (its async device->host copy has
-        completed), so the tracker never blocks on the device. The removal
-        therefore lands one frame later than the reference's synchronous
-        check — same policy, one step of latency.
+        The flow-distance readback is PIPELINED: the distance is computed
+        inside the same fused update program that produced the poses, its
+        device->host copy is started asynchronously, and the decision is
+        resolved once it is 2 frames old — deep enough that the device has
+        finished the producing frame's work and the readback is free. The
+        removal therefore lands two frames later than the reference's
+        synchronous check — same policy, two steps of latency.
         """
         cfg = self.cfg
-        # resolve last step's queued decision
-        pending = getattr(self, "_pending_kf_check", None)
-        if pending is not None:
-            mid, dist = pending
-            self._pending_kf_check = None
+        queue = self._pending_kf_checks
+        while len(queue) >= 2:
+            mid, dist = queue.pop(0)
             if mid in self.frame_gids and mid > 1:
                 if float(np.asarray(dist)) < cfg.keyframe_threshold:
                     self.frame_gids.remove(mid)
                     self._free_frame(mid)
                     self.colors.pop(mid, None)
-
-        if len(self.frame_gids) <= cfg.keyframe_index + 2:
-            return
-        i = self.frame_gids[-cfg.keyframe_index - 1]
-        j = self.frame_gids[-cfg.keyframe_index + 1]
-        mid = self.frame_gids[-cfg.keyframe_index]
-        if mid <= 1:
-            return  # never drop gauge anchors
-        d = self._frame_distance(
-            self.poses, self.pt_xy, self.pt_invd, self.intrinsics4,
-            jnp.asarray(i), jnp.asarray(j),
-        )
-        try:
-            d.copy_to_host_async()
-        except Exception:
-            pass
-        self._pending_kf_check = (mid, d)
 
     def _retire(self) -> List[int]:
         """Frames older than the removal window become final keyframes."""

@@ -14,9 +14,9 @@ TPU-native replacement for the reference's 1335-line DROIDSLAM class
   * ConvGRU update -> flow targets/weights/damping -> dense bundle
     adjustment (ops/dense_ba.py) over the frontend window,
   * learned 8x convex upsampling of inverse depth for emitted keyframes and
-    a diagonal-marginal depth covariance (the reference's dense-Cholesky
-    covariance, droid_slam.py:676-725, is approximated by the damped Schur
-    diagonal — documented delta),
+    the exact per-pixel marginal depth covariance from the BA Schur system
+    (Sigma_d = C^-1 + C^-1 U S^-1 U^T C^-1 — the same quantity the
+    reference computes via dense Cholesky, droid_slam.py:676-725),
   * global bundle adjustment over all keyframes at termination
     (reference terminate/backend, droid_slam.py:318-338,727-768).
 
@@ -46,6 +46,8 @@ class DroidConfig:
     keyframe_threshold: float = 4.0
     frontend_window: int = 16
     frontend_radius: int = 2
+    frontend_nms: int = 1  # proximity NMS radius (reference droid nms=1)
+    frontend_threshold: float = 16.0  # max flow distance for proximity edges
     max_factors: int = 48
     update_iters: int = 2
     ba_iters: int = 2
@@ -76,6 +78,7 @@ class DROIDSLAMTracker:
         self.e_target = jnp.zeros((E, self.h, self.w, 2))
         self.eta = jnp.zeros((B, self.h, self.w))
         self.upmask = jnp.zeros((B, self.h, self.w, 576))
+        self.depth_cov = jnp.ones((B, self.h, self.w))
 
         self.n_kf = 0
         self.tstamps: List[float] = []
@@ -97,6 +100,11 @@ class DROIDSLAMTracker:
         )
         self._upsample = jax.jit(
             lambda disps, mask: cvx_upsample(disps, mask)
+        )
+        self._pair_distance = jax.jit(
+            lambda poses, disps, intr, ii, jj: dense_ba.frame_distance(
+                poses, disps, intr, ii, jj
+            )
         )
 
     # ------------------------------------------------------------------
@@ -168,7 +176,7 @@ class DROIDSLAMTracker:
             poses=poses, disps=disps, intrinsics=intrinsics8, ii=ii, jj=jj,
             targets=target, weights=weight, valid=e_live,
         )
-        poses, disps, costs = dense_ba.dense_bundle_adjust(
+        poses, disps, costs, depth_cov = dense_ba.dense_bundle_adjust(
             problem, slot_map, num_iters=cfg.ba_iters,
             window=cfg.frontend_window, eta=eta,
         )
@@ -176,8 +184,7 @@ class DROIDSLAMTracker:
         hidden = jnp.where(e_live[:, None, None, None], net, hidden)
         e_target = jnp.where(e_live[:, None, None, None], target, e_target)
 
-        # diagonal depth information for covariance (recomputed cheaply)
-        return poses, disps, hidden, e_target, eta, upmask, costs
+        return poses, disps, hidden, e_target, eta, upmask, costs, depth_cov
 
     # ------------------------------------------------------------------
 
@@ -235,16 +242,58 @@ class DROIDSLAMTracker:
     # ------------------------------------------------------------------
 
     def _rebuild_edges(self) -> None:
-        """Frontend graph: neighborhood edges among the window keyframes."""
+        """Frontend graph: neighborhood edges among the window keyframes +
+        flow-proximity edges selected greedily with NMS suppression
+        (reference add_neighborhood_factors/add_proximity_factors,
+        droid_slam.py:997-1073: pairwise frame_distance, threshold, sort by
+        distance, suppress an index-space neighborhood around each pick)."""
         cfg = self.cfg
         win = self.alive[-cfg.frontend_window:]
+        W = len(win)
         pairs = []
+        chosen = set()
         for a_idx, a in enumerate(win):
             for b_idx, b in enumerate(win):
                 if a == b:
                     continue
                 if abs(a_idx - b_idx) <= cfg.frontend_radius:
                     pairs.append((a, b))
+                    chosen.add((a_idx, b_idx))
+
+        budget = cfg.max_factors - len(pairs)
+        if W >= 3 and budget > 0:
+            # pairwise flow distances on device (one padded static-shape call)
+            cand = [
+                (ai, bi) for ai in range(W) for bi in range(W)
+                if ai != bi and (ai, bi) not in chosen
+            ]
+            if cand:
+                P = cfg.frontend_window * (cfg.frontend_window - 1)
+                ii = np.zeros(P, np.int32)
+                jj = np.zeros(P, np.int32)
+                for s, (ai, bi) in enumerate(cand):
+                    ii[s] = win[ai]
+                    jj[s] = win[bi]
+                d = np.asarray(
+                    self._pair_distance(
+                        self.poses, self.disps, self.intrinsics8,
+                        jnp.asarray(ii), jnp.asarray(jj),
+                    )
+                )[: len(cand)]
+                suppressed = set()
+                for k in np.argsort(d):
+                    if budget <= 0 or d[k] > cfg.frontend_threshold:
+                        break
+                    ai, bi = cand[k]
+                    if (ai, bi) in suppressed:
+                        continue
+                    pairs.append((win[ai], win[bi]))
+                    budget -= 1
+                    r = cfg.frontend_nms
+                    for di in range(-r, r + 1):
+                        for dj in range(-r, r + 1):
+                            suppressed.add((ai + di, bi + dj))
+
         pairs = pairs[-cfg.max_factors:]
         old = {(int(self.e_ii[s]), int(self.e_jj[s])): s
                for s in range(cfg.max_factors) if self.e_valid[s]}
@@ -295,7 +344,7 @@ class DROIDSLAMTracker:
         slot_map = (self._slot_map(free) if slot_override is None
                     else slot_override)
         (self.poses, self.disps, self.hidden, self.e_target, self.eta,
-         upmask, costs) = self._update(
+         upmask, costs, depth_cov) = self._update(
             self.params, self.poses, self.disps, self.intrinsics8,
             self.fmaps, self.inps, self.hidden, self.e_target,
             jnp.asarray(np.clip(self.e_ii, 0, None).astype(np.int32)),
@@ -305,6 +354,9 @@ class DROIDSLAMTracker:
             jnp.asarray(slot_map),
         )
         self.upmask = upmask
+        # merge fresh marginal covariances into the persistent buffer
+        # (frames outside the current edge set keep their last estimate)
+        self.depth_cov = jnp.where(depth_cov < 1e5, depth_cov, self.depth_cov)
         self.e_fresh[self.e_valid] = False
 
     def _retire(self) -> List[int]:
@@ -392,13 +444,13 @@ class DROIDSLAMTracker:
             "last_frame": last_frame,
         }
         if self.cfg.compute_covariances:
-            # diagonal-marginal approximation: var ~ 1 / (info + damping)
-            info = np.asarray(self.eta)[np.asarray(kfs)] + 1e-2
-            cov8 = 1.0 / info
-            cov = np.stack(
-                [np.kron(c, np.ones((8, 8))) for c in cov8]
-            ).astype(np.float32)
-            packet["droid_slam_depth_covariance"] = cov
+            # exact per-pixel marginal covariance from the BA Schur system
+            # (reference droid_slam.py:676-725), upsampled with the same
+            # learned convex masks as the disparities (reference 481-486)
+            cov_up = self._upsample(self.depth_cov[idx], masks[idx])
+            packet["droid_slam_depth_covariance"] = np.asarray(
+                cov_up, np.float32
+            )[:K0]
         return packet
 
     def trajectory(self) -> Dict[int, np.ndarray]:

@@ -1,0 +1,70 @@
+"""EB (edges-per-block) scaling experiment for the corr kernel."""
+import os, sys, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax, jax.numpy as jnp, numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+SY, SX = 16, 32
+
+def make_kernel(eb):
+    def kern(block_frame_ref, ixiy_ref, pf_ref, fmap_ref, out_ref):
+        C = pf_ref.shape[-1]
+        for e in range(eb):
+            iy = ixiy_ref[e, 0]
+            ix8 = pl.multiple_of(ixiy_ref[e, 1], 8)
+            win = fmap_ref[0, pl.ds(iy, SY), pl.ds(ix8, SX), :]
+            win2 = win.reshape(SY * SX, C)
+            cw = jax.lax.dot_general(
+                pf_ref[e], win2, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            out_ref[e] = cw.astype(out_ref.dtype)
+    return kern
+
+def make_call(eb, n_blocks, H, W, C):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((eb, 2), lambda i, bf: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((eb, 16, C), lambda i, bf: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, W, C), lambda i, bf: (bf[i], 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((eb, 16, 512), lambda i, bf: (i, 0, 0), memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(make_kernel(eb),
+        out_shape=jax.ShapeDtypeStruct((n_blocks * eb, 16, 512), jnp.bfloat16),
+        grid_spec=grid_spec)
+
+def timeit(name, fn, n=20):
+    out = fn(); float(jnp.sum(out.astype(jnp.float32).ravel()[:1]))
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n): out = fn()
+        float(jnp.sum(out.astype(jnp.float32).ravel()[:1]))
+        best = min(best, (time.perf_counter() - t0) / n)
+    print(f"{name}: {best*1e3:.2f} ms")
+    return out
+
+H4, W4, C, R = 90, 160, 128, 32
+E2 = 33024
+rng = np.random.RandomState(0)
+PAD_Y, PAD_X = 16, 32
+Hp, Wp = H4 + 2*PAD_Y, W4 + 2*PAD_X
+fpad = jnp.asarray(rng.randn(R, Hp, Wp, C), jnp.bfloat16)
+pf16 = jnp.asarray(rng.randn(E2, 16, C), jnp.bfloat16)
+iy = rng.randint(0, Hp - SY, E2)
+ix8 = (rng.randint(0, Wp - SX, E2) // 8) * 8
+ixiy = jnp.asarray(np.stack([iy, ix8], -1), jnp.int32)
+
+outs = {}
+for eb in (8, 16, 32):
+    nb = E2 // eb
+    bf = jnp.asarray(np.sort(rng.randint(0, R, nb)) * 0 + np.repeat(np.arange(nb) * R // nb, 1), jnp.int32)
+    bf = jnp.asarray(np.sort(np.random.RandomState(1).randint(0, R, nb)), jnp.int32)
+    c = make_call(eb, nb, Hp, Wp, C)
+    j = jax.jit(lambda b, xy, p, f, c=c: c(b, xy, p, f))
+    try:
+        outs[eb] = timeit(f"EB={eb}", lambda: j(bf, ixiy, pf16, fpad))
+    except Exception as ex:
+        print(f"EB={eb} failed: {str(ex)[:200]}")

@@ -72,10 +72,13 @@ def test_dense_ba_converges(rng):
     slot_map = jnp.where(jnp.arange(N) >= 2, jnp.arange(N) - 2, -1).astype(
         jnp.int32
     )
-    poses, disps, costs = dense_ba.dense_bundle_adjust(
+    poses, disps, costs, depth_cov = dense_ba.dense_bundle_adjust(
         problem, slot_map, num_iters=6, window=4, ep=1e-4,
     )
     assert float(costs[-1]) < float(costs[0]) * 1e-2, costs
+    cov = np.asarray(depth_cov)
+    assert cov.shape == disps.shape
+    assert (cov[np.isfinite(cov)] >= 0).all()
     err = np.asarray(lie.se3_log(lie.se3_mul(poses, lie.se3_inv(poses_true))))
     assert np.abs(err).max() < 2e-3, np.abs(err).max()
     rel = np.abs(np.asarray(disps - disps_true) / np.asarray(disps_true))

@@ -12,24 +12,37 @@ CFG = HashGridConfig(
 
 
 def _np_reference_encode(tables, x, cfg):
-    """Independent numpy trilinear hash-grid implementation."""
+    """Independent numpy trilinear BRICK-grid implementation (3x3x3 corner
+    bricks over 2x2x2-cell regions; dense brick lattice when it fits the
+    table, NGP spatial hash of the brick coordinate otherwise)."""
     primes = np.array([1, 2654435761, 805459861], dtype=np.uint64)
-    out = np.zeros((x.shape[0], cfg.n_levels, cfg.features_per_level), np.float32)
+    F = cfg.features_per_level
+    NB = cfg.bricks_per_level
+    out = np.zeros((x.shape[0], cfg.n_levels, F), np.float32)
     for l, res in enumerate(cfg.resolutions):
         xs = np.clip(x, 0, 1) * res
-        x0 = np.floor(xs).astype(np.int64)
-        frac = xs - x0
+        c0 = np.clip(np.floor(xs).astype(np.int64), 0, res - 1)
+        frac = xs - np.floor(xs)
+        brick = c0 >> 1
+        local = c0 & 1
+        bpa = ((res - 1) >> 1) + 1
+        if bpa**3 <= NB:
+            bid = (brick[:, 0] * bpa + brick[:, 1]) * bpa + brick[:, 2]
+        else:
+            h = (
+                (brick[:, 0].astype(np.uint64) * primes[0])
+                ^ (brick[:, 1].astype(np.uint64) * primes[1])
+                ^ (brick[:, 2].astype(np.uint64) * primes[2])
+            ) & np.uint64(0xFFFFFFFF)
+            bid = (h % np.uint64(NB)).astype(np.int64)
+        bid = bid + l * NB
+        cols = tables[:, bid].T.reshape(x.shape[0], 32, F)  # entry-major
         for corner in range(8):
             off = np.array([corner & 1, (corner >> 1) & 1, (corner >> 2) & 1])
-            c = x0 + off
-            h = (
-                (c[:, 0].astype(np.uint64) * primes[0])
-                ^ (c[:, 1].astype(np.uint64) * primes[1])
-                ^ (c[:, 2].astype(np.uint64) * primes[2])
-            ) & np.uint64(0xFFFFFFFF)
-            idx = (h % np.uint64(cfg.table_size)).astype(np.int64) + l * cfg.table_size
+            lc = local + off  # in-brick 3x3x3 coords
+            o = (lc[:, 0] * 3 + lc[:, 1]) * 3 + lc[:, 2]
             w = np.prod(np.where(off == 1, frac, 1 - frac), axis=-1)
-            out[:, l] += tables[:, idx].T * w[:, None]
+            out[:, l] += cols[np.arange(x.shape[0]), o] * w[:, None]
     return out.reshape(x.shape[0], -1)
 
 

@@ -137,3 +137,22 @@ def test_depth_metrics_perfect():
     assert m["depth_delta_1"] == 1.0
     m2 = depth_metrics(d * 2.0, d, scale_match=True)
     assert m2["depth_abs_rel"] < 1e-6  # scale-matched
+
+
+def test_marching_tetrahedra_sphere():
+    # analytic sphere SDF on a grid -> exact-ish isosurface
+    n = 48
+    xs = np.linspace(-1, 1, n)
+    g = np.stack(np.meshgrid(xs, xs, xs, indexing="ij"), -1)
+    sdf = np.linalg.norm(g, axis=-1) - 0.6
+    voxel = 2.0 / (n - 1)
+    verts, faces, _ = tsdf.marching_tetrahedra(
+        sdf, None, np.asarray([-1.0, -1.0, -1.0], np.float32), voxel
+    )
+    assert len(verts) > 200 and len(faces) > 200
+    r = np.linalg.norm(verts, axis=-1)
+    # linear interpolation of a smooth SDF: well under half a voxel
+    assert np.abs(r - 0.6).max() < 0.5 * voxel
+    assert np.abs(r - 0.6).mean() < 0.1 * voxel
+    # faces index valid vertices
+    assert faces.min() >= 0 and faces.max() < len(verts)
