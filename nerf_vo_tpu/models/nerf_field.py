@@ -86,6 +86,60 @@ class ProposalDensityField(nn.Module):
         return trunc_exp(h[..., 0] - 1.0)
 
 
+class DenseProposalField(nn.Module):
+    """Dense voxel density grid -> density (TPU-native proposal field).
+
+    Fulfils the role of nerfstudio's ``HashMLPDensityField`` (reference
+    N7, nerf_vo/mapping/nerfstudio.py:47-103) but is REDESIGNED for the TPU
+    cost model: proposal encodes are descriptor-bound (each hash-grid level
+    costs one gather DESCRIPTOR per sample at a hard ~4-5 ns floor,
+    scripts/exp_gather.py), so a proposal-quality density field should spend
+    exactly ONE descriptor per sample. A dense single-level brick grid at the
+    proposal's max resolution has the same effective capacity as the 5-level
+    hash+MLP it replaces (proposal fields only gate sample placement), is
+    collision-free, and needs no MLP: the grid stores density logits
+    directly. 5x fewer descriptors fwd AND bwd.
+
+    Implemented as the 1-level / 1-feature special case of the brick hash
+    grid (dense because the brick lattice fits the table by construction).
+    """
+
+    resolution: int = 128
+    use_contraction: bool = True
+    aabb_min: float = -1.0
+    aabb_max: float = 1.0
+
+    @property
+    def grid(self) -> HashGridConfig:
+        bricks_per_axis = ((self.resolution - 1) >> 1) + 1
+        needed = bricks_per_axis**3 * 32  # brick-padded entries
+        return HashGridConfig(
+            n_levels=1,
+            features_per_level=1,
+            log2_table_size=max(needed - 1, 1).bit_length(),
+            base_resolution=self.resolution,
+            max_resolution=self.resolution,
+        )
+
+    def _to_unit(self, positions):
+        if self.use_contraction:
+            return hash_grid.contract_to_unit_cube(positions)
+        return hash_grid.normalize_to_unit_cube(
+            positions, self.aabb_min, self.aabb_max
+        )
+
+    @nn.compact
+    def __call__(self, positions):
+        """positions [..., 3] world-frame -> density [...]."""
+        tables = self.param(
+            "tables", lambda key: hash_grid.init_tables(key, self.grid)
+        )
+        feat = hash_grid.hash_encode(
+            tables, self._to_unit(positions), self.grid
+        )
+        return trunc_exp(feat[..., 0] - 1.0)
+
+
 class NerfactoField(nn.Module):
     """Hash-grid field with SH-encoded view directions and appearance embedding.
 

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from nerf_vo_tpu.models.nerf_field import (
+    DenseProposalField,
     HashGridConfig,
     NerfactoField,
     ProposalDensityField,
@@ -55,6 +56,17 @@ class NerfactoConfig:
     is_euclidean_depth: bool = False
     max_res: int = 2048
     log2_hashmap_size: int = 19
+    # field grid geometry: 8 levels x 4 features (vs tiny-cuda-nn's 16 x 2;
+    # same total capacity). On TPU the encode cost is per gather DESCRIPTOR
+    # (~4-5 ns each, scripts/exp_gather.py), one per sample-level — halving
+    # levels while doubling the brick payload is ~1.6x on encode fwd+bwd.
+    num_grid_levels: int = 8
+    grid_features_per_level: int = 4
+    # proposal fields: "dense" = single-level dense voxel density bricks
+    # (1 descriptor/sample, no MLP — DenseProposalField); "hash" = 5-level
+    # hash grid + MLP mirroring nerfstudio's HashMLPDensityField.
+    proposal_type: str = "dense"
+    proposal_resolutions: Tuple[int, ...] = (128, 160)
     # sampling strategy: "proposal" (nerfacto) or "occupancy" (Instant-NGP
     # path: density-grid-driven empty-space skipping, ops/occupancy.py)
     sampler: str = "proposal"
@@ -72,19 +84,29 @@ class NerfactoModel:
             aabb_min=config.aabb_min,
             aabb_max=config.aabb_max,
         )
-        self.proposal_fields = [
-            ProposalDensityField(
-                grid=HashGridConfig(5, 2, 17, 16, 128), hidden=16, **common
-            ),
-            ProposalDensityField(
-                grid=HashGridConfig(5, 2, 17, 16, 256), hidden=16, **common
-            ),
-        ][: len(config.num_proposal_samples)]
+        if config.proposal_type == "dense":
+            self.proposal_fields = [
+                DenseProposalField(resolution=r, **common)
+                for r in config.proposal_resolutions
+            ][: len(config.num_proposal_samples)]
+        else:
+            self.proposal_fields = [
+                ProposalDensityField(
+                    grid=HashGridConfig(5, 2, 17, 16, 128), hidden=16, **common
+                ),
+                ProposalDensityField(
+                    grid=HashGridConfig(5, 2, 17, 16, 256), hidden=16, **common
+                ),
+            ][: len(config.num_proposal_samples)]
         if config.sampler == "occupancy":
             self.proposal_fields = []
         self.field = NerfactoField(
             grid=HashGridConfig(
-                16, 2, config.log2_hashmap_size, 16, config.max_res
+                config.num_grid_levels,
+                config.grid_features_per_level,
+                config.log2_hashmap_size,
+                16,
+                config.max_res,
             ),
             num_images=config.num_images,
             predict_normals=config.predict_normals,
@@ -281,18 +303,22 @@ class NerfactoModel:
         loss = L.rgb_loss(out["rgb"], batch["rgb"])
         metrics["rgb_loss"] = loss
 
-        # interlevel: each proposal histogram vs the final one
+        # interlevel: each proposal histogram vs the final one (zero-mult
+        # configs skip the computation entirely, not just the add)
         final_edges = out["s_edges_list"][-1]
         final_w = out["weights_list"][-1]
-        inter = 0.0
-        for pe, pw in zip(out["s_edges_list"][:-1], out["weights_list"][:-1]):
-            inter = inter + R.interlevel_loss(pe, pw, final_edges, final_w)
-        metrics["interlevel_loss"] = inter
-        loss = loss + cfg.interlevel_loss_mult * inter
+        if cfg.interlevel_loss_mult > 0:
+            inter = 0.0
+            for pe, pw in zip(out["s_edges_list"][:-1],
+                              out["weights_list"][:-1]):
+                inter = inter + R.interlevel_loss(pe, pw, final_edges, final_w)
+            metrics["interlevel_loss"] = inter
+            loss = loss + cfg.interlevel_loss_mult * inter
 
-        dist = R.distortion_loss(final_edges, final_w)
-        metrics["distortion_loss"] = dist
-        loss = loss + cfg.distortion_loss_mult * dist
+        if cfg.distortion_loss_mult > 0:
+            dist = R.distortion_loss(final_edges, final_w)
+            metrics["distortion_loss"] = dist
+            loss = loss + cfg.distortion_loss_mult * dist
 
         if "depth" in batch and cfg.depth_loss_mult > 0:
             if cfg.depth_loss_type == "l2":

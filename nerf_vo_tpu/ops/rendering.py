@@ -171,15 +171,30 @@ def _outer_bounds(t0, t1, y1):
 
     Standard 'lossfun_outer' inner machinery [upstream mipnerf-360]: returns
     the total mass of histogram 1 falling inside each bin of histogram 0.
+
+    Like sample_pdf above, the edge lookups exploit that BOTH edge arrays and
+    the CDF are monotone: "cy1 at the last t1 edge <= t0_lo" is a masked MAX
+    and "cy1 at the first t1 edge >= t0_hi" a masked MIN, in ray-minor layout
+    so lane tiling pads nothing. The vmapped-searchsorted formulation this
+    replaces lowered to serial dynamic gathers on TPU (measured 40 ms per
+    proposal level per train step at production sizes — it DOMINATED the
+    mapping step).
     """
     cy1 = jnp.concatenate([jnp.zeros_like(y1[..., :1]), jnp.cumsum(y1, -1)], -1)
 
-    def per_ray(t0r, t1r, cy1r):
-        idx_lo = jnp.clip(jnp.searchsorted(t1r, t0r[:-1], side="right") - 1, 0, t1r.shape[-1] - 1)
-        idx_hi = jnp.clip(jnp.searchsorted(t1r, t0r[1:], side="left"), 0, t1r.shape[-1] - 1)
-        return cy1r[idx_hi] - cy1r[idx_lo]
-
-    return jax.vmap(per_ray)(t0, t1, cy1)
+    t1t = t1.T  # [B+1, R]
+    cy1t = cy1.T  # [B+1, R]
+    t0lo = t0[..., :-1].T  # [K, R]
+    t0hi = t0[..., 1:].T
+    # last t1 edge <= t0_lo (searchsorted 'right' - 1, clipped to 0 == cy1[0])
+    m_lo = t1t[:, None, :] <= t0lo[None, :, :]  # [B+1, K, R]
+    lo = jnp.max(jnp.where(m_lo, cy1t[:, None, :], 0.0), axis=0)
+    # first t1 edge >= t0_hi (searchsorted 'left', clipped to B == cy1[-1])
+    m_hi = t1t[:, None, :] >= t0hi[None, :, :]
+    hi = jnp.min(
+        jnp.where(m_hi, cy1t[:, None, :], cy1t[-1:, None, :]), axis=0
+    )
+    return (hi - lo).T
 
 
 def interlevel_loss(proposal_edges, proposal_weights, final_edges, final_weights):

@@ -248,6 +248,17 @@ class DPVOTracker:
         kf = as16(take(4))
         fd_i, fd_j = kf[0], kf[1]
         perm_pack = take(meta.shape[0] - o) if meta.shape[0] > o else None
+        # sorted-edge buffer length is host-bucketed to the LIVE edge count
+        # (dead slots used to ride along as full pad blocks — ~37% of the
+        # corr kernel at steady state); derived from the pack length so each
+        # bucket is its own compiled program. pack = perm u16 [E2] +
+        # inv u16 [E] + blocks u8 [E2/EB].
+        if perm_pack is not None:
+            from nerf_vo_tpu.ops.correlation_pallas import EB as _EB0
+
+            E2_dyn = (
+                (perm_pack.shape[0] - 2 * E) * _EB0 // (2 * _EB0 + 1)
+            )
 
         # derive per-edge metadata on device
         host_ok = hosts >= 0
@@ -300,7 +311,7 @@ class DPVOTracker:
                 patch_correlation_pallas,
             )
 
-            E2 = cfg.max_edges + cfg.ring_size * _EB
+            E2 = E2_dyn
             u16 = lambda b: jax.lax.bitcast_convert_type(
                 b.reshape(-1, 2), jnp.uint16
             ).astype(jnp.int32)
@@ -589,12 +600,21 @@ class DPVOTracker:
                 if pad:
                     perm_list.append(np.full(pad, sel[-1]))
                 blocks.extend([ring] * nb)
-            # fixed total length for a single compilation
-            E2 = E + cfg.ring_size * _EB
+            # total length bucketed to the live edge count (quarters of the
+            # max): dead edge slots used to ride along as pad blocks — ~37%
+            # of the corr kernel at steady state. Each bucket is one compiled
+            # program (<= 4 compiles over a run; buckets recur, so the
+            # executable cache covers them after first use).
+            max_blocks = (E + cfg.ring_size * _EB) // _EB
+            quarter = max(max_blocks // 4, 1)
+            n_blk = min(
+                -(-max(len(blocks), 1) // quarter) * quarter, max_blocks
+            )
+            E2 = n_blk * _EB
             flat = np.concatenate(perm_list) if perm_list else np.zeros(0, np.int64)
             fill = E2 - flat.size
             perm_np = np.concatenate([flat, np.zeros(fill, np.int64)])
-            blocks += [0] * ((E2 // _EB) - len(blocks))
+            blocks += [0] * (n_blk - len(blocks))
             # inverse permutation: first occurrence wins for pad duplicates
             inv_np = np.zeros(E, np.int64)
             if flat.size:

@@ -96,6 +96,7 @@ def test_sample_with_pose_deltas(rng):
 TINY_MODEL = NerfactoConfig(
     near=0.1, far=10.0, num_proposal_samples=(16,), num_nerf_samples=8,
     num_images=K, log2_hashmap_size=10, max_res=64,
+    proposal_resolutions=(16,),
 )
 
 

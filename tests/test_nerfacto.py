@@ -14,6 +14,7 @@ TINY = NerfactoConfig(
     num_images=4,
     log2_hashmap_size=10,
     max_res=64,
+    proposal_resolutions=(16,),
 )
 
 

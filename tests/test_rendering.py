@@ -91,6 +91,23 @@ def test_interlevel_zero_when_consistent():
     assert float(R.interlevel_loss(edges, w_bad, edges, w)) > 1e-4
 
 
+def test_outer_bounds_matches_searchsorted_reference(rng):
+    """Mask-reduce _outer_bounds == the classic searchsorted formulation."""
+    R_, B, K = 7, 13, 5
+    t1 = np.sort(rng.uniform(0, 1, (R_, B + 1)), axis=-1)
+    t0 = np.sort(rng.uniform(0, 1, (R_, K + 1)), axis=-1)
+    y1 = rng.uniform(0, 1, (R_, B)).astype(np.float32)
+    got = np.asarray(R._outer_bounds(jnp.asarray(t0), jnp.asarray(t1),
+                                     jnp.asarray(y1)))
+    for r in range(R_):
+        cy1 = np.concatenate([[0.0], np.cumsum(y1[r])])
+        lo = np.clip(np.searchsorted(t1[r], t0[r, :-1], side="right") - 1,
+                     0, B)
+        hi = np.clip(np.searchsorted(t1[r], t0[r, 1:], side="left"), 0, B)
+        np.testing.assert_allclose(got[r], cy1[hi] - cy1[lo],
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_ds_nerf_depth_loss_minimized_at_gt():
     t = jnp.broadcast_to(jnp.linspace(0.1, 5.0, 32), (1, 32))
     deltas = jnp.full((1, 32), (5.0 - 0.1) / 32)
