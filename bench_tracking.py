@@ -34,10 +34,16 @@ def main():
         return base[16: 16 + H, i % 48: i % 48 + W]
 
     # warmup through init + steady-state compiles + the backend's slow
-    # first ~dozen executions of each fresh executable
-    n_warm = cfg.init_frames + 20
+    # first ~dozen executions of each fresh executable. The next frame's
+    # uint8 H2D (~12 ms on the tunneled link) is prefetched with device_put
+    # so the transfer overlaps the current frame's device compute — the
+    # production pipeline does the same in its prefetch thread.
+    n_warm = cfg.init_frames + 24
+    dev = jax.device_put(frame(0))
     for i in range(n_warm):
-        tracker.track(i * 0.05, frame(i), intr, frame_index=i)
+        tracker.track(i * 0.05, frame(i), intr, frame_index=i,
+                      image_device=dev)
+        dev = jax.device_put(frame(i + 1))  # overlaps this frame's compute
 
     # several windows; report the best (shared-tunnel variance)
     n_bench = 25
@@ -46,7 +52,9 @@ def main():
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(n_bench):
-            tracker.track(idx * 0.05, frame(idx), intr, frame_index=idx)
+            tracker.track(idx * 0.05, frame(idx), intr, frame_index=idx,
+                          image_device=dev)
+            dev = jax.device_put(frame(idx + 1))
             idx += 1
         fps = max(fps, n_bench / (time.perf_counter() - t0))
     print(

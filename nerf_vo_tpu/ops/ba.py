@@ -188,68 +188,58 @@ def bundle_adjust(
         )
         w = problem.weights * ok[:, None]  # [NE, 2]
 
-        # zero jacobian rows of fixed poses
-        J_i = jnp.where((li >= 0)[:, None, None], J_i, 0.0)
-        J_j = jnp.where((lj >= 0)[:, None, None], J_j, 0.0)
         sl_i = jnp.clip(li, 0, P - 1)
         sl_j = jnp.clip(lj, 0, P - 1)
-
-        wJ_i = w[..., None] * J_i
-        wJ_j = w[..., None] * J_j
         wJ_d = w * J_d
 
         # Assembly via ONE-HOT MATMULS, not scatter-adds: TPU scatters
-        # serialize (measured ~400 ms per BA call at 4k edges); one-hot
-        # einsums run on the MXU in <1 ms at these sizes.
+        # serialize (measured ~400 ms per BA call at 4k edges). Fixed poses
+        # one-hot to a dropped column, so their jacobian blocks contribute
+        # nothing anywhere.
         oh_i = jax.nn.one_hot(jnp.where(li >= 0, sl_i, P), P + 1)[:, :P]
         oh_j = jax.nn.one_hot(jnp.where(lj >= 0, sl_j, P), P + 1)[:, :P]
         oh_k = jax.nn.one_hot(kk, NK)  # [E, NK]
 
-        # ---- pose-pose blocks B[p, q, 6, 6] ----------------------------
-        # two-stage factorization: tmp[e, q*ab] = oh[e, q] * blk[e, ab]
-        # (elementwise outer), then one [P, E] @ [E, q*ab] matmul.
-        B = jnp.zeros((P, P, 6, 6))
-        for (Ja, oa) in ((J_i, oh_i), (J_j, oh_j)):
-            for (Jb, ob) in ((wJ_i, oh_i), (wJ_j, oh_j)):
-                blk = jnp.einsum("eca,ecb->eab", Ja, Jb, precision=_HI)
-                tmp = (ob[:, :, None] * blk.reshape(-1, 1, 36)).reshape(
-                    -1, P * 36
-                )
-                B = B + jnp.matmul(oa.T, tmp, precision=_HI).reshape(
-                    P, P, 6, 6
-                )
-        # ---- pose rhs v[p, 6] = -J^T W r (GN descent direction) --------
-        wr = -(w * r)
-        v = jnp.matmul(
-            oh_i.T, jnp.einsum("eca,ec->ea", J_i, wr, precision=_HI),
-            precision=_HI,
-        )
-        v = v + jnp.matmul(
-            oh_j.T, jnp.einsum("eca,ec->ea", J_j, wr, precision=_HI),
-            precision=_HI,
-        )
+        # ---- window-row jacobian G[e, c, P*6] --------------------------
+        # Both pose blocks of an edge land in ONE row vector, so the full
+        # reduced camera Hessian is a single Gs^T Gs MXU product (Gs = the
+        # sqrt-weighted rows) — the earlier 4-combination (i,j)x(i,j) block
+        # loop materialized 4x [E, P*36] intermediates (measured 4.4 of the
+        # 6.6 ms iteration). No small-batch einsums: E-batched 6-wide MXU
+        # ops pad 6 -> 128 on both operand dims and dominate the iteration.
+        sw = jnp.sqrt(w)  # [NE, 2]
+        Gs = (
+            (sw[..., None] * J_i)[:, :, None, :] * oh_i[:, None, :, None]
+            + (sw[..., None] * J_j)[:, :, None, :] * oh_j[:, None, :, None]
+        ).reshape(NE * 2, P * 6)
+
+        # pose-pose Hessian (row-major [P*6, P*6], solver-ready) and rhs
+        B = jnp.matmul(Gs.T, Gs, precision=_HI)
+        v = jnp.matmul(Gs.T, (sw * -r).reshape(NE * 2), precision=_HI)
 
         # ---- depth terms ----------------------------------------------
         C = jnp.matmul(oh_k.T, jnp.sum(wJ_d * J_d, axis=-1), precision=_HI)
         w_d = jnp.matmul(oh_k.T, jnp.sum(wJ_d * (-r), axis=-1), precision=_HI)
-        # per-patch pose-depth accumulator U[k, p, 6]
-        u_i = jnp.einsum("eca,ec->ea", J_i, wJ_d, precision=_HI)
-        u_j = jnp.einsum("eca,ec->ea", J_j, wJ_d, precision=_HI)
-        z = (oh_i[:, :, None] * u_i[:, None, :]).reshape(-1, P * 6)
-        z = z + (oh_j[:, :, None] * u_j[:, None, :]).reshape(-1, P * 6)
-        U = jnp.matmul(oh_k.T, z, precision=_HI).reshape(NK, P, 6)
+        # per-patch pose-depth accumulator U[k, P*6] = sum_c sqrt(w)J_d * Gs
+        # (w * J_d * G == (sw J_d) * (sw G)); explicit elementwise sum, NOT
+        # an einsum (see note above)
+        swJd = (sw * J_d).reshape(NE * 2, 1)
+        Gs2 = Gs.reshape(NE, 2, P * 6)
+        u_all = (
+            Gs2[:, 0] * swJd.reshape(NE, 2)[:, 0:1]
+            + Gs2[:, 1] * swJd.reshape(NE, 2)[:, 1:2]
+        )
+        U = jnp.matmul(oh_k.T, u_all, precision=_HI)  # [NK, P*6]
 
         C_damped = C * (1.0 + lm_lambda) + 1e-7
         Cinv = 1.0 / C_damped
 
         # ---- Schur complement -----------------------------------------
-        S = B - jnp.einsum("kpa,k,kqb->pqab", U, Cinv, U, precision=_HI)
-        rhs = v - jnp.einsum("kpa,k,k->pa", U, Cinv, w_d, precision=_HI)
+        H = B - jnp.matmul(U.T, Cinv[:, None] * U, precision=_HI)
+        rhs_flat = v - jnp.matmul(U.T, Cinv * w_d, precision=_HI)
 
-        H = S.transpose(0, 2, 1, 3).reshape(P * 6, P * 6)
         diag = jnp.diagonal(H)
         H = H + jnp.diag(lm_lambda * diag + ep)
-        rhs_flat = rhs.reshape(P * 6)
 
         # NOTE: jnp.linalg.solve, not scipy cholesky — the cholesky custom
         # call is pathologically slow on this TPU backend (measured seconds
@@ -258,7 +248,7 @@ def bundle_adjust(
         dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
 
         # ---- depth back-substitution ----------------------------------
-        dz = Cinv * (w_d - jnp.einsum("kpa,pa->k", U, dx, precision=_HI))
+        dz = Cinv * (w_d - jnp.matmul(U, dx.reshape(P * 6), precision=_HI))
         # only patches touched by a valid edge move
         touched = jnp.matmul(oh_k.T, ok.astype(jnp.float32),
                              precision=_HI) > 0

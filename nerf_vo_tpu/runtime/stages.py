@@ -35,12 +35,24 @@ class DataStage:
     def __init__(self, args):
         self.dataset = make_dataset(args.dataset_name, args)
         self.index = 0
+        # Start the frame H2D here (in threaded mode this runs in the
+        # prefetch thread): the ~12 ms uint8 transfer on the tunneled link
+        # then overlaps the PREVIOUS frame's tracking compute instead of
+        # sitting on the device timeline. DPVO path only — the DROID stage
+        # crops the frame before upload.
+        self._h2d = getattr(args, "tracking_module", "dpvo") == "dpvo"
 
     def step(self) -> Optional[dict]:
         if self.index >= len(self.dataset):
             return None
         frame = self.dataset[self.index]
         self.index += 1
+        if self._h2d:
+            import jax
+
+            frame["frame_color_device"] = jax.device_put(
+                np.ascontiguousarray(frame["frame_color"])
+            )
         return frame
 
     def __len__(self):
@@ -114,9 +126,12 @@ class TrackingStage:
         color = frame["frame_color"]
         if self.name == "droid-slam":  # crop to a multiple of 8
             color = color[: self.tracker.H, : self.tracker.W]
+        track_kwargs = {}
+        if self.name != "droid-slam" and "frame_color_device" in frame:
+            track_kwargs["image_device"] = frame["frame_color_device"]
         retired = self.tracker.track(
             float(frame["frame_index"]), color, intr,
-            frame_index=frame["frame_index"],
+            frame_index=frame["frame_index"], **track_kwargs,
         )
         if frame.get("last_frame"):
             retired = retired + self.tracker.flush()

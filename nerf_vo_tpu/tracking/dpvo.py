@@ -207,6 +207,8 @@ class DPVOTracker:
                       # Redundant per-edge fields (kk_local, rings,
                       # liveness) are DERIVED on device from these.
         ba_iters: int,
+        profile_cut: int = 0,  # dev-only (scripts/exp_vo_cut.py): return
+                               # early after stage N to attribute device time
     ):
         """One tracking update: correlate -> update net -> BA (+ pipelined
         keyframe flow-distance for frames fd_i -> fd_j).
@@ -334,6 +336,11 @@ class DPVOTracker:
                 radius=cfg.corr_radius,
             )
 
+        if profile_cut == 1:  # after correlation
+            z = jnp.sum(corr) + jnp.sum(center)
+            return (poses + z * 0, pt_invd, hidden, e_target,
+                    jnp.zeros((ba_iters,)), z)
+
         h = jnp.where(e_new[:, None], 0.0, hidden)
         tgt_prev = jnp.where(e_new[:, None], center, e_target)
         flow = jax.lax.stop_gradient(center - tgt_prev)
@@ -346,6 +353,11 @@ class DPVOTracker:
         )
         target = jax.lax.stop_gradient(center) + delta
         weight = weight * e_live[:, None]
+
+        if profile_cut == 2:  # after update net
+            z = jnp.sum(target) + jnp.sum(weight) + jnp.sum(h)
+            return (poses + z * 0, pt_invd, hidden, e_target,
+                    jnp.zeros((ba_iters,)), z)
 
         problem = ba.BAProblem(
             poses=poses,
@@ -363,6 +375,10 @@ class DPVOTracker:
             problem, slot_map, num_iters=ba_iters,
             window=cfg.optimization_window + 3,
         )
+
+        if profile_cut == 3:  # after bundle adjustment
+            z = jnp.sum(new_invd_k)
+            return (new_poses, pt_invd, hidden, e_target, costs, z)
 
         # scatter alive-patch depths back into the big buffer
         flat = flat_invd.at[safe_pg].set(
@@ -465,12 +481,18 @@ class DPVOTracker:
     # ------------------------------------------------------------------
 
     def track(self, tstamp: float, image: np.ndarray, intrinsics: np.ndarray,
-              frame_index: Optional[int] = None) -> List[int]:
+              frame_index: Optional[int] = None,
+              image_device=None) -> List[int]:
         """Process one frame.
 
         Args:
-          image: [H, W, 3] uint8 RGB.
+          image: [H, W, 3] uint8 RGB (host array; retained for packets).
           intrinsics: [4] fx, fy, cx, cy at full input resolution.
+          image_device: optional device-resident uint8 copy of ``image``.
+            The frame H2D costs ~12 ms on the tunneled link; callers that
+            ``jax.device_put`` the NEXT frame while the current one computes
+            take that transfer off the serial device timeline (the DMA and
+            compute engines overlap).
 
         Returns: retired keyframe gids (possibly empty).
         """
@@ -492,9 +514,13 @@ class DPVOTracker:
         prev2 = jnp.asarray(
             self.frame_gids[-2] if len(self.frame_gids) >= 2 else 0, jnp.int32
         )
+        img_dev = (
+            image_device if image_device is not None
+            else jnp.asarray(image, jnp.uint8)
+        )
         (self.fmap1, self.fmap2, self.gmap, self.imap, self.pt_xy,
          self.pt_invd, self.intrinsics4, self.poses) = self._encode_append(
-            self.params, jnp.asarray(image, jnp.uint8), key,
+            self.params, img_dev, key,
             self.fmap1, self.fmap2, self.gmap, self.imap, self.pt_xy,
             self.pt_invd, self.intrinsics4, self.poses,
             jnp.asarray(slot, jnp.int32), gid_d,
