@@ -63,6 +63,8 @@ class ProposalDensityField(nn.Module):
         base_resolution=16, max_resolution=256,
     )
     hidden: int = 16
+    model_axis: Optional[str] = None  # mesh axis of column-sharded tables
+    model_axis_size: int = 1  # shard count (declares local param shape)
     use_contraction: bool = True
     aabb_min: float = -1.0
     aabb_max: float = 1.0
@@ -79,9 +81,11 @@ class ProposalDensityField(nn.Module):
         """positions [..., 3] world-frame -> density [...]."""
         tables = self.param(
             "tables",
-            lambda key: hash_grid.init_tables(key, self.grid),
+            lambda key: hash_grid.init_tables(
+                key, self.grid, shard=self.model_axis_size),
         )
-        feat = hash_grid.hash_encode(tables, self._to_unit(positions), self.grid)
+        feat = hash_grid.hash_encode(tables, self._to_unit(positions), self.grid,
+                                     model_axis=self.model_axis)
         h = MLP(hidden=self.hidden, depth=1, out_dim=1)(feat)
         return trunc_exp(h[..., 0] - 1.0)
 
@@ -105,6 +109,8 @@ class DenseProposalField(nn.Module):
     """
 
     resolution: int = 128
+    model_axis: Optional[str] = None  # mesh axis of column-sharded tables
+    model_axis_size: int = 1  # shard count (declares local param shape)
     use_contraction: bool = True
     aabb_min: float = -1.0
     aabb_max: float = 1.0
@@ -132,10 +138,12 @@ class DenseProposalField(nn.Module):
     def __call__(self, positions):
         """positions [..., 3] world-frame -> density [...]."""
         tables = self.param(
-            "tables", lambda key: hash_grid.init_tables(key, self.grid)
+            "tables", lambda key: hash_grid.init_tables(
+                key, self.grid, shard=self.model_axis_size)
         )
         feat = hash_grid.hash_encode(
-            tables, self._to_unit(positions), self.grid
+            tables, self._to_unit(positions), self.grid,
+            model_axis=self.model_axis,
         )
         return trunc_exp(feat[..., 0] - 1.0)
 
@@ -155,6 +163,8 @@ class NerfactoField(nn.Module):
     appearance_dim: int = 32
     num_images: int = 512
     sh_degree: int = 4
+    model_axis: Optional[str] = None  # mesh axis of column-sharded tables
+    model_axis_size: int = 1  # shard count (declares local param shape)
     use_contraction: bool = True
     aabb_min: float = -1.0
     aabb_max: float = 1.0
@@ -168,7 +178,8 @@ class NerfactoField(nn.Module):
         if self.predict_normals:
             self.normal_mlp = MLP(hidden=self.hidden, depth=2, out_dim=3)
         self.tables = self.param(
-            "tables", lambda key: hash_grid.init_tables(key, self.grid)
+            "tables", lambda key: hash_grid.init_tables(
+                key, self.grid, shard=self.model_axis_size)
         )
 
     def _to_unit(self, positions):
@@ -179,7 +190,8 @@ class NerfactoField(nn.Module):
         )
 
     def density(self, positions):
-        feat = hash_grid.hash_encode(self.tables, self._to_unit(positions), self.grid)
+        feat = hash_grid.hash_encode(self.tables, self._to_unit(positions),
+                                     self.grid, model_axis=self.model_axis)
         h = self.density_mlp(feat)
         density = trunc_exp(h[..., 0] - 1.0)
         return density, h[..., 1:]
@@ -188,7 +200,8 @@ class NerfactoField(nn.Module):
         """Density at coords ALREADY in the unit cube (the occupancy-grid
         refresh evaluates at grid-cell centers, which live in unit space —
         no world-frame round trip needed)."""
-        feat = hash_grid.hash_encode(self.tables, unit_positions, self.grid)
+        feat = hash_grid.hash_encode(self.tables, unit_positions, self.grid,
+                                     model_axis=self.model_axis)
         h = self.density_mlp(feat)
         return trunc_exp(h[..., 0] - 1.0)
 

@@ -67,6 +67,11 @@ class NerfactoConfig:
     # hash grid + MLP mirroring nerfstudio's HashMLPDensityField.
     proposal_type: str = "dense"
     proposal_resolutions: Tuple[int, ...] = (128, 160)
+    # mesh axis name for tensor-parallel (column-sharded) hash tables; set
+    # only when the train step runs inside a shard_map over that axis
+    # (parallel/sharding.py make_dp_tp_train_step). None = replicated.
+    model_axis: Optional[str] = None
+    model_axis_size: int = 1
     # sampling strategy: "proposal" (nerfacto) or "occupancy" (Instant-NGP
     # path: density-grid-driven empty-space skipping, ops/occupancy.py)
     sampler: str = "proposal"
@@ -83,6 +88,8 @@ class NerfactoModel:
             use_contraction=config.use_contraction,
             aabb_min=config.aabb_min,
             aabb_max=config.aabb_max,
+            model_axis=config.model_axis,
+            model_axis_size=config.model_axis_size,
         )
         if config.proposal_type == "dense":
             self.proposal_fields = [

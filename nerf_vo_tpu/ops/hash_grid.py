@@ -35,8 +35,9 @@ structure is REDESIGNED for TPU memory behavior rather than ported:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
-from typing import Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -83,15 +84,20 @@ class HashGridConfig:
         )
 
 
-def init_tables(key, config: HashGridConfig, dtype=jnp.float32):
+def init_tables(key, config: HashGridConfig, dtype=jnp.float32,
+                shard: int = 1):
     """Table init U(-1e-4, 1e-4) as in Instant-NGP.
 
     Shape [32*F, L*NB]: column = one brick (27 corner entries + 5 pad rows,
     entry-major / feature-minor), minor axis = brick index (TPU lane tiling
-    pads nothing on the huge axis).
+    pads nothing on the huge axis). ``shard`` > 1 declares one tensor-
+    parallel column shard of the table (1/shard of the columns) — used by
+    the model view that runs inside a shard_map (_tp_gather_cols).
     """
     F = config.features_per_level
-    shape = (_BRICK_PAD * F, config.n_levels * config.bricks_per_level)
+    cols = config.n_levels * config.bricks_per_level
+    assert cols % shard == 0, (cols, shard)
+    shape = (_BRICK_PAD * F, cols // shard)
     return jax.random.uniform(key, shape, dtype, minval=-1e-4, maxval=1e-4)
 
 
@@ -151,11 +157,62 @@ def _gather_cols_bwd(res, g):
 _gather_cols.defvjp(_gather_cols_fwd, _gather_cols_bwd)
 
 
-def hash_encode(tables, x, config: HashGridConfig):
+@functools.lru_cache(maxsize=None)
+def _tp_gather_cols(axis_name: str):
+    """Tensor-parallel brick gather for COLUMN-SHARDED tables.
+
+    Inside a ``shard_map`` over mesh axis ``axis_name``, each device holds a
+    contiguous column slice of the table; it gathers the indices it owns
+    (others masked to zero) and the full feature columns are reassembled
+    with one ``psum`` over ICI. The backward scatters cotangents into the
+    local shard only — table gradients need NO cross-device traffic.
+
+    Scaling analysis (be honest about what TP buys on a descriptor-bound
+    workload): every device still walks the FULL index list, so gather
+    descriptors do NOT shrink with the model axis — ray data-parallelism is
+    what scales encode time (each DP shard gathers only its rays). The
+    model axis scales table MEMORY (hash tables + Adam state split 1/m),
+    enabling scenes whose grids exceed one chip's HBM.
+    """
+
+    @jax.custom_vjp
+    def gather(local_tables, idx):
+        li = idx - jax.lax.axis_index(axis_name) * local_tables.shape[1]
+        own = (li >= 0) & (li < local_tables.shape[1])
+        cols = _split_take(
+            local_tables.astype(jnp.bfloat16),
+            jnp.clip(li, 0, local_tables.shape[1] - 1),
+        )
+        cols = cols * own.astype(cols.dtype)[None, :]
+        return jax.lax.psum(cols, axis_name)
+
+    def fwd(local_tables, idx):
+        return gather(local_tables, idx), (idx, local_tables.shape)
+
+    def bwd(res, g):
+        idx, shape = res
+        li = idx - jax.lax.axis_index(axis_name) * shape[1]
+        own = (li >= 0) & (li < shape[1])
+        gl = g.astype(jnp.float32) * own.astype(jnp.float32)[None, :]
+        return (
+            jnp.zeros(shape, jnp.float32).at[
+                :, jnp.clip(li, 0, shape[1] - 1)
+            ].add(gl),
+            None,
+        )
+
+    gather.defvjp(fwd, bwd)
+    return gather
+
+
+def hash_encode(tables, x, config: HashGridConfig,
+                model_axis: Optional[str] = None):
     """Encode points with the multiresolution brick grid.
 
     Args:
-      tables: [32*F, L*NB] table (see init_tables).
+      tables: [32*F, L*NB] table (see init_tables); when ``model_axis`` is
+        set, the LOCAL column shard of it inside a shard_map over that mesh
+        axis (tensor-parallel tables — see _tp_gather_cols).
       x: [..., 3] positions in the unit cube [0, 1]^3 (values outside are
         clamped; callers apply scene contraction first).
 
@@ -186,7 +243,10 @@ def hash_encode(tables, x, config: HashGridConfig):
     frac = jnp.stack(fr, 1)  # [3, L, N]
     local = jnp.stack(loc, 1)  # [3, L, N]
 
-    cols = _gather_cols(tables, idx)  # [32*F, L*N] bf16
+    if model_axis is not None:
+        cols = _tp_gather_cols(model_axis)(tables, idx)  # [32*F, L*N] bf16
+    else:
+        cols = _gather_cols(tables, idx)  # [32*F, L*N] bf16
     g = cols.reshape(_BRICK_PAD, F, L * n).astype(jnp.float32)
 
     # separable trilinear weights on the 3x3x3 brick lattice:

@@ -1,11 +1,21 @@
-"""Multi-chip scaling for the mapper: data-parallel rays over a device mesh.
+"""Multi-chip scaling for the mapper over a jax.sharding device mesh.
 
 The reference is strictly single-GPU (SURVEY.md §2.3) — its only parallelism
 is a 4-stage host process pipeline. The TPU rebuild's scaling story is
-different and native: shard the ray batch of each mapping train step across a
-``jax.sharding.Mesh`` (axis ``"data"``), replicate the hash tables / MLPs /
-pose deltas, and let a ``shard_map``-wrapped step psum-average gradients over
-ICI. Tracking BA solves are small dense problems and stay replicated.
+native SPMD, along the two axes that actually help this workload:
+
+* **data** — shard the ray batch (make_dp_train_step): rays are
+  embarrassingly parallel and the encode cost is per gather DESCRIPTOR
+  (scripts/exp_gather.py), so descriptors/device scale 1/n_data. This is
+  the THROUGHPUT axis. Gradients psum-average over ICI.
+* **model** — column-shard the hash tables (make_dp_tp_train_step): each
+  device owns a contiguous brick-column slice of every grid; features are
+  reassembled with one psum, and table gradients (and Adam state) stay
+  shard-local. Descriptors/device do NOT shrink — this is the MEMORY axis,
+  for scenes whose grids exceed one chip's HBM (ops/hash_grid.py
+  _tp_gather_cols has the full analysis).
+
+Tracking BA solves are small dense problems and stay replicated.
 
 This module is exercised on real hardware by ``__graft_entry__.dryrun_multichip``
 and in CI on a virtual 8-device CPU mesh (tests/test_parallel.py).
@@ -32,9 +42,80 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     return Mesh(jax.make_mesh((len(devs),), (axis,), devices=devs).devices, (axis,))
 
 
+def make_mesh_2d(n_data: int, n_model: int,
+                 axes: Tuple[str, str] = ("data", "model")) -> Mesh:
+    """2D mesh: data-parallel rays x model-parallel hash tables."""
+    devs = jax.devices()[: n_data * n_model]
+    return Mesh(
+        jax.make_mesh((n_data, n_model), axes, devices=devs).devices, axes
+    )
+
+
 def replicate(tree, mesh: Mesh):
     sharding = NamedSharding(mesh, P())
     return jax.device_put(tree, sharding)
+
+
+def _is_table_path(path) -> bool:
+    return any(
+        getattr(k, "key", None) == "tables" for k in path
+    )
+
+
+def table_sharded_specs(params, model_axis: str = "model"):
+    """PartitionSpec tree for params: hash-table leaves column-sharded over
+    ``model_axis``, everything else replicated."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: P(None, model_axis) if _is_table_path(path)
+        else P(),
+        params,
+    )
+
+
+def shard_state_tp(state: TrainState, mesh: Mesh, model_axis: str = "model"):
+    """Place a TrainState on a 2D mesh: tables (and their Adam moments)
+    column-sharded over ``model_axis``, everything else replicated."""
+    pspec = table_sharded_specs(state.params, model_axis)
+
+    def put(tree, spec_tree):
+        return jax.tree_util.tree_map(
+            lambda leaf, spec: jax.device_put(
+                leaf, NamedSharding(mesh, spec)
+            ),
+            tree, spec_tree,
+        )
+
+    params = put(state.params, pspec)
+    # optax.adam state: ScaleByAdamState(count, mu, nu) + chain wrappers —
+    # mu/nu mirror the params tree; shard them identically
+    def put_opt(opt_state):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, leaf: jax.device_put(
+                leaf,
+                NamedSharding(
+                    mesh,
+                    P(None, model_axis)
+                    if (_is_table_path(path) and leaf.ndim == 2) else P(),
+                ),
+            ),
+            opt_state,
+        )
+
+    return TrainState(
+        params=params,
+        pose_deltas=jax.device_put(
+            state.pose_deltas, NamedSharding(mesh, P())
+        ),
+        opt_state=put_opt(state.opt_state),
+        cam_opt_state=jax.device_put(
+            state.cam_opt_state, NamedSharding(mesh, P())
+        ),
+        step=jax.device_put(state.step, NamedSharding(mesh, P())),
+        occ_grid=(
+            jax.device_put(state.occ_grid, NamedSharding(mesh, P()))
+            if state.occ_grid is not None else None
+        ),
+    )
 
 
 def make_dp_train_step(trainer: MappingTrainer, mesh: Mesh, axis: str = "data"):
@@ -112,3 +193,126 @@ def make_dp_train_step(trainer: MappingTrainer, mesh: Mesh, axis: str = "data"):
         return new_state, metrics
 
     return jax.jit(dp_step, donate_argnums=(0,))
+
+
+def make_dp_tp_train_step(trainer: MappingTrainer, mesh: Mesh,
+                          data_axis: str = "data",
+                          model_axis: str = "model"):
+    """Build a 2D data x model parallel train step over ``mesh``.
+
+    Rays shard over ``data_axis`` (throughput); every grid's table columns
+    shard over ``model_axis`` (memory — see module docstring). Use
+    :func:`shard_state_tp` to place the TrainState first.
+
+    The loss runs on a model VIEW with ``config.model_axis`` set, so each
+    ``hash_encode`` does the local masked gather + feature psum; the param
+    tree is identical to the replicated model's, just column-sharded.
+    """
+    import dataclasses as _dc
+
+    from nerf_vo_tpu.models.nerfacto import NerfactoModel
+
+    n_data = mesh.shape[data_axis]
+    per_dev = trainer.config.rays_per_batch // n_data
+    assert per_dev * n_data == trainer.config.rays_per_batch
+
+    tp_model = NerfactoModel(
+        _dc.replace(
+            trainer.model.config,
+            model_axis=model_axis,
+            model_axis_size=int(mesh.shape[model_axis]),
+        )
+    )
+
+    def loss_fn(params, pose_deltas, buffer, key, occ_grid):
+        k_sample, k_render = jax.random.split(key)
+        deltas = pose_deltas if trainer.config.optimize_extrinsics else None
+        batch = kb.sample_ray_batch(buffer, deltas, k_sample, per_dev)
+        return tp_model.loss(params, batch, k_render, occ_grid=occ_grid)
+
+    # param leaves: tables carry a per-device column shard; grads for them
+    # are shard-local (no collective); everything else is replicated and
+    # pmean'd over both axes
+    def spec_of(state):
+        pspec = table_sharded_specs(state.params, model_axis)
+        opt_spec = jax.tree_util.tree_map_with_path(
+            lambda path, leaf: P(None, model_axis)
+            if (_is_table_path(path) and getattr(leaf, "ndim", 0) == 2)
+            else P(),
+            state.opt_state,
+        )
+        return TrainState(
+            params=pspec, pose_deltas=P(), opt_state=opt_spec,
+            cam_opt_state=P(), step=P(),
+            occ_grid=P() if state.occ_grid is not None else None,
+        )
+
+    def build(state_spec):
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(state_spec, P(), P()),
+            out_specs=(state_spec, P()),
+            check_vma=False,
+        )
+        def step(state: TrainState, buffer, key):
+            # same rays within a model group; unique rays per data row
+            dev_key = jax.random.fold_in(
+                key, jax.lax.axis_index(data_axis)
+            )
+            occ = (
+                jax.lax.stop_gradient(state.occ_grid)
+                if state.occ_grid is not None else None
+            )
+            (loss, metrics), grads = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True
+            )(state.params, state.pose_deltas, buffer, dev_key, occ)
+            g_params, g_pose = grads
+            # table grads: shard-local columns, pmean over data only;
+            # replicated leaves: pmean over both axes (identical across
+            # the model axis in exact arithmetic; the pmean pins them)
+            g_params = jax.tree_util.tree_map_with_path(
+                lambda path, g: jax.lax.pmean(g, data_axis)
+                if _is_table_path(path)
+                else jax.lax.pmean(g, (data_axis, model_axis)),
+                g_params,
+            )
+            g_pose = jax.lax.pmean(g_pose, (data_axis, model_axis))
+            metrics = jax.lax.pmean(metrics, (data_axis, model_axis))
+
+            updates, opt_state = trainer.tx.update(
+                g_params, state.opt_state
+            )
+            params = optax.apply_updates(state.params, updates)
+            if trainer.config.optimize_extrinsics:
+                g_pose = g_pose.at[0].set(0.0)
+                cam_updates, cam_opt_state = trainer.cam_tx.update(
+                    g_pose, state.cam_opt_state
+                )
+                pose_deltas = optax.apply_updates(
+                    state.pose_deltas, cam_updates
+                )
+            else:
+                pose_deltas = state.pose_deltas
+                cam_opt_state = state.cam_opt_state
+            new_state = TrainState(
+                params=params,
+                pose_deltas=pose_deltas,
+                opt_state=opt_state,
+                cam_opt_state=cam_opt_state,
+                step=state.step + 1,
+                occ_grid=state.occ_grid,
+            )
+            return new_state, metrics
+
+        return jax.jit(step, donate_argnums=(0,))
+
+    _cache = {}
+
+    def run(state, buffer, key):
+        k = id(type(state))  # one spec per state structure
+        if k not in _cache:
+            _cache[k] = build(spec_of(state))
+        return _cache[k](state, buffer, key)
+
+    return run

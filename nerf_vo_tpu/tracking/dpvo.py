@@ -115,6 +115,17 @@ class DPVOTracker:
             self._vo_update_impl, static_argnames=("ba_iters",),
             donate_argnames=("poses", "pt_invd", "hidden", "e_target"),
         )
+        # fused steady-state step: encode + append + vo_update in ONE
+        # dispatch (the per-dispatch floor on the tunneled backend is ~2 ms,
+        # and fusing lets XLA overlap the encoder with the corr DMAs)
+        self._track_fused = jax.jit(
+            self._track_fused_impl,
+            static_argnames=("pose_mode", "ba_iters"),
+            donate_argnames=(
+                "fmap1", "fmap2", "gmap", "imap", "pt_xy", "pt_invd",
+                "intrinsics4", "poses", "hidden", "e_target",
+            ),
+        )
         self._frame_distance = jax.jit(self._frame_distance_impl)
 
     # ------------------------------------------------------------------
@@ -396,6 +407,27 @@ class DPVOTracker:
         )
         return new_poses, pt_invd, hidden, e_target, costs, dist
 
+    def _track_fused_impl(self, params, image_u8, key, fmap1, fmap2, gmap,
+                          imap, pt_xy, pt_invd, intrinsics4, poses, hidden,
+                          e_target, slot, gid, intr, prev1, prev2, meta,
+                          pose_mode: int, ba_iters: int):
+        """Whole steady-state frame as one program: ingest then update.
+
+        The update's host metadata (edge table, window, sort) depends only
+        on host bookkeeping, so it is packed BEFORE dispatch and the two
+        device halves fuse."""
+        (fmap1, fmap2, gmap, imap, pt_xy, pt_invd, intrinsics4, poses
+         ) = self._encode_append_impl(
+            params, image_u8, key, fmap1, fmap2, gmap, imap, pt_xy, pt_invd,
+            intrinsics4, poses, slot, gid, intr, prev1, prev2, pose_mode,
+        )
+        poses, pt_invd, hidden, e_target, costs, dist = self._vo_update_impl(
+            params, poses, pt_xy, pt_invd, intrinsics4, fmap1, fmap2, gmap,
+            imap, hidden, e_target, meta, ba_iters,
+        )
+        return (fmap1, fmap2, gmap, imap, pt_xy, pt_invd, intrinsics4,
+                poses, hidden, e_target, costs, dist)
+
     def _frame_distance_impl(self, poses, pt_xy, pt_invd, intrinsics4, a, b):
         """Mean optical-flow magnitude of frame a's patches reprojected into b
         (replaces droid_backends.frame_distance semantics for keyframing)."""
@@ -518,6 +550,38 @@ class DPVOTracker:
             image_device if image_device is not None
             else jnp.asarray(image, jnp.uint8)
         )
+
+        # host bookkeeping first: the update's metadata depends only on it,
+        # so the steady-state frame can go down in ONE fused dispatch
+        self.tstamps[gid] = tstamp
+        self.src_index[gid] = frame_index if frame_index is not None else gid
+        self.colors[gid] = np.asarray(image, np.uint8)
+        self.frame_gids.append(gid)
+        self._expire_old_patches()
+        self._add_edges(*self._edge_pairs_for_new_frame(gid))
+
+        retired: List[int] = []
+        fused_prep = (
+            self._prepare_update(queue_kf=True)
+            if self.is_initialized and cfg.update_iterations == 1 else None
+        )
+        if fused_prep is not None:
+            meta, kf_mid, live = fused_prep
+            (self.fmap1, self.fmap2, self.gmap, self.imap, self.pt_xy,
+             self.pt_invd, self.intrinsics4, self.poses, self.hidden,
+             self.e_target, costs, dist) = self._track_fused(
+                self.params, img_dev, key,
+                self.fmap1, self.fmap2, self.gmap, self.imap, self.pt_xy,
+                self.pt_invd, self.intrinsics4, self.poses, self.hidden,
+                self.e_target,
+                jnp.asarray(slot, jnp.int32), gid_d,
+                jnp.asarray(intrinsics, jnp.float32), prev1, prev2, meta,
+                pose_mode=pose_mode, ba_iters=cfg.ba_iterations,
+            )
+            self._finish_update(live, kf_mid, dist)
+            self._resolve_kf_checks()
+            return self._retire()
+
         (self.fmap1, self.fmap2, self.gmap, self.imap, self.pt_xy,
          self.pt_invd, self.intrinsics4, self.poses) = self._encode_append(
             self.params, img_dev, key,
@@ -527,15 +591,6 @@ class DPVOTracker:
             jnp.asarray(intrinsics, jnp.float32), prev1, prev2,
             pose_mode=pose_mode,
         )
-
-        self.tstamps[gid] = tstamp
-        self.src_index[gid] = frame_index if frame_index is not None else gid
-        self.colors[gid] = np.asarray(image, np.uint8)
-        self.frame_gids.append(gid)
-        self._expire_old_patches()
-        self._add_edges(*self._edge_pairs_for_new_frame(gid))
-
-        retired: List[int] = []
         if not self.is_initialized:
             if len(self.frame_gids) >= cfg.init_frames:
                 for _ in range(cfg.init_iterations):
@@ -550,12 +605,16 @@ class DPVOTracker:
 
     # ------------------------------------------------------------------
 
-    def _run_update(self, queue_kf: bool = False) -> None:
+    def _prepare_update(self, queue_kf: bool = False):
+        """Host half of one update: pack all metadata into the uint8 H2D
+        buffer. Returns (meta, kf_mid, live) or None when no edges live.
+        Pure host state — safe to run BEFORE the frame's encode dispatch,
+        which is what lets the fused track step exist."""
         cfg = self.cfg
         P = cfg.patches_per_frame
         E = cfg.max_edges
         if not self.e_valid.any():
-            return
+            return None
 
         # keyframe-candidate pair whose flow distance rides along with this
         # update (resolved asynchronously 2 frames later)
@@ -673,6 +732,22 @@ class DPVOTracker:
             np.concatenate([np.ascontiguousarray(s).view(np.uint8).ravel()
                             for s in sections])
         )
+        return meta, kf_mid, live
+
+    def _finish_update(self, live, kf_mid, dist) -> None:
+        self.e_fresh[live] = False
+        if kf_mid is not None:
+            try:
+                dist.copy_to_host_async()
+            except Exception:
+                pass
+            self._pending_kf_checks.append((kf_mid, dist))
+
+    def _run_update(self, queue_kf: bool = False) -> None:
+        prep = self._prepare_update(queue_kf)
+        if prep is None:
+            return
+        meta, kf_mid, live = prep
         (self.poses, self.pt_invd, self.hidden, self.e_target, costs, dist
          ) = self._vo_update(
             self.params,
@@ -683,15 +758,9 @@ class DPVOTracker:
             self.fmap1, self.fmap2, self.gmap, self.imap,
             self.hidden, self.e_target,
             meta,
-            ba_iters=cfg.ba_iterations,
+            ba_iters=self.cfg.ba_iterations,
         )
-        self.e_fresh[live] = False
-        if kf_mid is not None:
-            try:
-                dist.copy_to_host_async()
-            except Exception:
-                pass
-            self._pending_kf_checks.append((kf_mid, dist))
+        self._finish_update(live, kf_mid, dist)
 
     def _resolve_kf_checks(self) -> None:
         """Drop frame (n - KEYFRAME_INDEX) if local motion is below the
