@@ -48,6 +48,12 @@ _PRIMES = (1, 2654435761, 805459861)
 _BRICK = 27  # 3x3x3 corner lattice of a 2x2x2-cell region
 _BRICK_PAD = 32  # padded column height per feature
 _GATHER_SPLITS = 4  # independent takes per gather (DMA overlap, measured 2x)
+# Dense levels with at most this many bricks are encoded via a one-hot MXU
+# matmul instead of gather/scatter: descriptors cost ~4-5 ns fwd / ~17 ns
+# bwd EACH (scripts/exp_gather.py), so a [N, 512] one-hot product (~0.5 ms
+# of MXU + operand traffic both ways) beats ~4.5 ms of descriptors at the
+# field's production sample count. 512 covers the res-16 base level.
+_ONEHOT_MAX_BRICKS = 512
 
 
 @dataclasses.dataclass(frozen=True)
@@ -239,14 +245,42 @@ def hash_encode(tables, x, config: HashGridConfig,
         fr.append(xs - jnp.floor(xs))
         loc.append(c & 1)
         ids.append(_brick_ids(c >> 1, res, NB, l))
-    idx = jnp.stack(ids).reshape(-1)  # [L*N]
     frac = jnp.stack(fr, 1)  # [3, L, N]
     local = jnp.stack(loc, 1)  # [3, L, N]
 
-    if model_axis is not None:
-        cols = _tp_gather_cols(model_axis)(tables, idx)  # [32*F, L*N] bf16
-    else:
-        cols = _gather_cols(tables, idx)  # [32*F, L*N] bf16
+    # tiny dense levels (a prefix — resolutions ascend) go through a one-hot
+    # MXU matmul: no gather/scatter descriptors fwd or bwd (see
+    # _ONEHOT_MAX_BRICKS note). Everything else takes the brick gather.
+    n_oh = 0
+    if model_axis is None:
+        for l, res in enumerate(res_list):
+            bpa = ((res - 1) >> 1) + 1
+            if bpa**3 <= min(NB, _ONEHOT_MAX_BRICKS):
+                n_oh = l + 1
+            else:
+                break
+    parts = []
+    for l in range(n_oh):
+        bpa = ((res_list[l] - 1) >> 1) + 1
+        B_l = bpa**3
+        sub = tables[:, l * NB: l * NB + B_l].astype(jnp.bfloat16)
+        oh = (
+            (ids[l] - l * NB)[None, :] == jnp.arange(B_l)[:, None]
+        ).astype(jnp.bfloat16)  # [B_l, N]
+        parts.append(
+            jax.lax.dot_general(
+                sub, oh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.bfloat16)
+        )
+    if n_oh < L:
+        idx = jnp.stack(ids[n_oh:]).reshape(-1)  # [(L - n_oh) * N]
+        if model_axis is not None:
+            parts.append(_tp_gather_cols(model_axis)(tables, idx))
+        else:
+            parts.append(_gather_cols(tables, idx))
+    cols = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+    # [32*F, L*N] bf16, level-major (one-hot levels are the prefix)
     g = cols.reshape(_BRICK_PAD, F, L * n).astype(jnp.float32)
 
     # separable trilinear weights on the 3x3x3 brick lattice:
