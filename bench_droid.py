@@ -1,0 +1,67 @@
+"""Secondary benchmark: DROID-SLAM (nerf_slam path) tracking FPS.
+
+Prints one JSON line {"metric": "droid_tracking_fps", ...}. The reference's
+DROID/NeRF-SLAM configuration is its offline-quality baseline pipeline
+(SURVEY.md §0); there is no published FPS target for it, so vs_baseline is
+reported against camera rate / 3 (10 FPS) as a working reference point.
+Measured on synthetic moving-texture frames so the motion filter admits
+frames (static frames would all be filtered and nothing would be timed).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    from nerf_vo_tpu.utils.jax_setup import setup_jax
+
+    setup_jax()
+    import jax
+
+    from nerf_vo_tpu.models.droid_net import init_droid_params
+    from nerf_vo_tpu.tracking.droid_slam import DroidConfig, DROIDSLAMTracker
+
+    H, W = 240, 320  # nerf_slam configs run reduced resolution
+    cfg = DroidConfig(buffer_size=128, perform_global_ba=False,
+                      compute_covariances=False)
+    net, params = init_droid_params(jax.random.PRNGKey(0), H, W)
+    tracker = DROIDSLAMTracker(cfg, net, params, H, W)
+    intr = np.asarray([260.0, 260.0, W / 2, H / 2], np.float32)
+
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 255, (H + 64, W + 64, 3), dtype=np.uint8)
+
+    def frame(i):
+        return base[16: 16 + H, (5 * i) % 60: (5 * i) % 60 + W]
+
+    n_warm = 30
+    for i in range(n_warm):
+        tracker.track(i * 0.1, frame(i), intr, frame_index=i)
+
+    n_bench = 15
+    fps = 0.0
+    idx = n_warm
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n_bench):
+            tracker.track(idx * 0.1, frame(idx), intr, frame_index=idx)
+            idx += 1
+        fps = max(fps, n_bench / (time.perf_counter() - t0))
+    print(
+        json.dumps(
+            {
+                "metric": "droid_tracking_fps",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / 10.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -155,20 +155,26 @@ def depth_metrics(pred: np.ndarray, target: np.ndarray,
 
 def lpips_distance(pred: np.ndarray, target: np.ndarray,
                    weights_path: Optional[str] = None) -> Optional[float]:
-    """LPIPS(alex) perceptual distance — gated.
+    """LPIPS(alex) perceptual distance.
 
     The reference uses the ``lpips`` package with pretrained AlexNet
-    (evaluation/evaluation_utils.py:418-444). This environment has neither the
-    package nor downloadable weights (zero egress), so: if ``weights_path``
-    (a torch state dict for the LPIPS-Alex trunk+linear heads) is provided it
-    is used, otherwise returns None and the evaluator reports the metric as
-    missing rather than wrong.
+    (evaluation/evaluation_utils.py:418-444). The metric is fully
+    implemented in JAX (evaluation/lpips.py: AlexNet trunk, scaling layer,
+    unit-normalized features, learned 1x1 heads); only the pretrained
+    weights are unavailable in this zero-egress environment. Pass
+    ``weights_path`` (torch state dict — the lpips package's combined dump
+    or torchvision alexnet + lin heads both convert) or set
+    ``NERF_VO_LPIPS_WEIGHTS``; otherwise returns None and the evaluator
+    reports the metric as missing rather than wrong.
     """
-    if weights_path is None:
+    import os
+
+    weights_path = weights_path or os.environ.get("NERF_VO_LPIPS_WEIGHTS")
+    if not weights_path or not os.path.exists(weights_path):
         return None
-    raise NotImplementedError(
-        "LPIPS weight loading to be wired when weights are available"
-    )
+    from nerf_vo_tpu.evaluation.lpips import lpips_from_file
+
+    return lpips_from_file(pred, target, weights_path)
 
 
 # ---------------------------------------------------------------------------
