@@ -150,33 +150,35 @@ def dense_bundle_adjust(
         )
         wm = wgt * ok[..., None]
 
-        J_i = jnp.where((li >= 0)[:, None, None, None], J_i, 0.0)
-        J_j = jnp.where((lj >= 0)[:, None, None, None], J_j, 0.0)
-        wJ_i = wm[..., None] * J_i
-        wJ_j = wm[..., None] * J_j
         wJ_d = wm * J_d
 
-        # ---- pose-pose blocks -----------------------------------------
-        B = jnp.zeros((P, P, 6, 6))
-        for Ja, sa in ((J_i, sl_i), (J_j, sl_j)):
-            for Jb, sb in ((wJ_i, sl_i), (wJ_j, sl_j)):
-                blk = jnp.einsum("ehca,ehcb->eab", Ja, Jb, precision=_HI)
-                B = B.at[sa, sb].add(blk)
-        v = jnp.zeros((P, 6))
-        wr = -(wm * r)
-        v = v.at[sl_i].add(jnp.einsum("ehca,ehc->ea", J_i, wr, precision=_HI))
-        v = v.at[sl_j].add(jnp.einsum("ehca,ehc->ea", J_j, wr, precision=_HI))
+        # ---- window-row jacobian Gs[e, h, c, P*6] ---------------------
+        # sqrt-weighted rows with both pose blocks scattered in, so the
+        # reduced camera Hessian is ONE Gs^T Gs MXU product — the
+        # 4-combination loop this replaces ran (E*hw)-batched 6-wide
+        # einsums that pad to 128 on both MXU operand dims (same fix as
+        # ops/ba.py; measured 4.4 of 6.6 ms there).
+        oh_i = jax.nn.one_hot(jnp.where(li >= 0, sl_i, P), P + 1)[:, :P]
+        oh_j = jax.nn.one_hot(jnp.where(lj >= 0, sl_j, P), P + 1)[:, :P]
+        sw = jnp.sqrt(wm)  # [E, hw, 2]
+        Gs = (
+            (sw[..., None] * J_i)[..., None, :] * oh_i[:, None, None, :, None]
+            + (sw[..., None] * J_j)[..., None, :] * oh_j[:, None, None, :, None]
+        ).reshape(E, hw, 2, P * 6)
+
+        Gs_flat = Gs.reshape(E * hw * 2, P * 6)
+        B = jnp.matmul(Gs_flat.T, Gs_flat, precision=_HI)  # [P6, P6]
+        v = jnp.matmul(Gs_flat.T, (sw * -r).reshape(-1), precision=_HI)
 
         # ---- depth terms ----------------------------------------------
         C = jnp.zeros((N, hw)).at[ii].add(jnp.sum(wJ_d * J_d, -1))
         w_d = jnp.zeros((N, hw)).at[ii].add(jnp.sum(wJ_d * (-r), -1))
-        U = jnp.zeros((N, hw, P, 6))
-        U = U.at[ii, :, sl_i].add(
-            jnp.einsum("ehca,ehc->eha", J_i, wJ_d, precision=_HI)
-        )
-        U = U.at[ii, :, sl_j].add(
-            jnp.einsum("ehca,ehc->eha", J_j, wJ_d, precision=_HI)
-        )
+        swJd = sw * J_d  # [E, hw, 2]
+        u_all = (
+            Gs[:, :, 0] * swJd[:, :, 0:1]
+            + Gs[:, :, 1] * swJd[:, :, 1:2]
+        )  # [E, hw, P*6]
+        U = jnp.zeros((N, hw, P * 6)).at[ii].add(u_all)
 
         damp = lm_lambda * C + 1e-7
         if eta is not None:
@@ -184,15 +186,19 @@ def dense_bundle_adjust(
         Cinv = 1.0 / (C + damp)
 
         # ---- Schur + solve --------------------------------------------
-        S = B - jnp.einsum("nhpa,nh,nhqb->pqab", U, Cinv, U, precision=_HI)
-        rhs = v - jnp.einsum("nhpa,nh,nh->pa", U, Cinv, w_d, precision=_HI)
-        H = S.transpose(0, 2, 1, 3).reshape(P * 6, P * 6)
+        Uf = U.reshape(N * hw, P * 6)
+        cf = Cinv.reshape(N * hw)
+        H = B - jnp.matmul(Uf.T, cf[:, None] * Uf, precision=_HI)
+        rhs = v - jnp.matmul(Uf.T, cf * w_d.reshape(-1), precision=_HI)
         H = H + jnp.diag(lm_lambda * jnp.diagonal(H) + ep)
         # LU solve: scipy cholesky is pathologically slow on this backend
-        dx = jnp.linalg.solve(H, rhs.reshape(P * 6)).reshape(P, 6)
+        dx = jnp.linalg.solve(H, rhs).reshape(P, 6)
         dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
 
-        dz = Cinv * (w_d - jnp.einsum("nhpa,pa->nh", U, dx, precision=_HI))
+        dz = Cinv * (
+            w_d - jnp.matmul(Uf, dx.reshape(P * 6),
+                             precision=_HI).reshape(N, hw)
+        )
         touched = jnp.zeros((N,), bool).at[ii].max(edge_valid)
         dz = jnp.where(touched[:, None] & jnp.isfinite(dz), dz, 0.0)
 
