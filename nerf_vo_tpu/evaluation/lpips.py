@@ -108,7 +108,10 @@ def load_torch_weights(path: str) -> Dict[str, Any]:
     """
     import torch
 
-    sd = torch.load(path, map_location="cpu")
+    # weights_only=True: never execute pickled code from the checkpoint
+    # path (it is user-supplied via NERF_VO_LPIPS_WEIGHTS). Full-module
+    # pickles are intentionally unsupported — export a state dict instead.
+    sd = torch.load(path, map_location="cpu", weights_only=True)
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
     sd = {k: np.asarray(v) for k, v in sd.items()}

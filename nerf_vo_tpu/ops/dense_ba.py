@@ -160,7 +160,11 @@ def dense_bundle_adjust(
         # ops/ba.py; measured 4.4 of 6.6 ms there).
         oh_i = jax.nn.one_hot(jnp.where(li >= 0, sl_i, P), P + 1)[:, :P]
         oh_j = jax.nn.one_hot(jnp.where(lj >= 0, sl_j, P), P + 1)[:, :P]
-        sw = jnp.sqrt(wm)  # [E, hw, 2]
+        # Precondition: confidence weights must be >= 0 (they are sigmoid
+        # outputs today) — the sqrt factorization is not sign-agnostic, so
+        # clamp to keep a future signed-weight net from emitting NaNs that
+        # the isfinite guard would silently mask into zero updates.
+        sw = jnp.sqrt(jnp.maximum(wm, 0.0))  # [E, hw, 2]
         Gs = (
             (sw[..., None] * J_i)[..., None, :] * oh_i[:, None, None, :, None]
             + (sw[..., None] * J_j)[..., None, :] * oh_j[:, None, None, :, None]

@@ -295,13 +295,28 @@ def make_dp_tp_train_step(trainer: MappingTrainer, mesh: Mesh,
             else:
                 pose_deltas = state.pose_deltas
                 cam_opt_state = state.cam_opt_state
+            occ_grid = state.occ_grid
+            if occ_grid is not None:
+                # Refresh through the TP model view so density evaluation
+                # does the local masked gather + feature psum over the
+                # column-sharded tables; same key everywhere -> identical
+                # grids (mirrors the DP step's replicated refresh).
+                occ_cfg = tp_model.config.occupancy
+                occ_grid = jax.lax.cond(
+                    state.step % occ_cfg.update_every == 0,
+                    lambda g: tp_model.refresh_occupancy(
+                        params, g, state.step, jax.random.fold_in(key, 1)
+                    ),
+                    lambda g: g,
+                    occ_grid,
+                )
             new_state = TrainState(
                 params=params,
                 pose_deltas=pose_deltas,
                 opt_state=opt_state,
                 cam_opt_state=cam_opt_state,
                 step=state.step + 1,
-                occ_grid=state.occ_grid,
+                occ_grid=occ_grid,
             )
             return new_state, metrics
 
@@ -310,7 +325,10 @@ def make_dp_tp_train_step(trainer: MappingTrainer, mesh: Mesh,
     _cache = {}
 
     def run(state, buffer, key):
-        k = id(type(state))  # one spec per state structure
+        # Key on the pytree structure, not the (always-identical) class:
+        # occ_grid None vs array changes the spec and must not hit a stale
+        # compiled step.
+        k = jax.tree_util.tree_structure(state)
         if k not in _cache:
             _cache[k] = build(spec_of(state))
         return _cache[k](state, buffer, key)

@@ -358,7 +358,7 @@ class DPVOTracker:
 
         im_e = imap[jnp.clip(e_host_ring, 0, R - 1), kk % P].astype(jnp.float32)
         h, delta, weight = self.net.apply(
-            self.params, h, im_e, corr, flow,
+            params, h, im_e, corr, flow,
             kk, jnp.clip(e_jj_ring, 0, R - 1), KL, R,
             method=self.net.update_step,
         )

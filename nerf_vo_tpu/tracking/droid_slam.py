@@ -134,7 +134,7 @@ class DROIDSLAMTracker:
         net = jnp.zeros((1, self.h, self.w, self.net.cdim))
         flow = jnp.zeros((1, self.h, self.w, 4))
         _, delta, _, _, _ = self.net.apply(
-            self.params, net, inp_last[None].astype(jnp.float32), corr, flow,
+            params, net, inp_last[None].astype(jnp.float32), corr, flow,
             jnp.zeros((1,), jnp.int32), 1, method=self.net.update_step,
         )
         return jnp.mean(jnp.linalg.norm(delta, axis=-1))
@@ -166,7 +166,7 @@ class DROIDSLAMTracker:
         inp = inps[ii].astype(jnp.float32)
 
         net, delta, weight, eta, upmask = self.net.apply(
-            self.params, net, inp, corr, flow, ii, disps.shape[0],
+            params, net, inp, corr, flow, ii, disps.shape[0],
             method=self.net.update_step,
         )
         target = jax.lax.stop_gradient(coords) + delta

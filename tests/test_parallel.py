@@ -53,16 +53,95 @@ def test_tp_matches_dp():
     mesh_dp = sharding.make_mesh(4)
     st_dp = sharding.replicate(trainer.init(jax.random.PRNGKey(0)), mesh_dp)
     dp = sharding.make_dp_train_step(trainer, mesh_dp)
-    _, m_dp = dp(st_dp, sharding.replicate(buf, mesh_dp), key)
+    st_dp2, m_dp = dp(st_dp, sharding.replicate(buf, mesh_dp), key)
 
     mesh_tp = sharding.make_mesh_2d(4, 2)
     st_tp = sharding.shard_state_tp(trainer.init(jax.random.PRNGKey(0)),
                                     mesh_tp)
     tp = sharding.make_dp_tp_train_step(trainer, mesh_tp)
-    _, m_tp = tp(st_tp, sharding.replicate(buf, mesh_tp), key)
+    st_tp2, m_tp = tp(st_tp, sharding.replicate(buf, mesh_tp), key)
 
     np.testing.assert_allclose(
         float(m_dp["loss"]), float(m_tp["loss"]), rtol=1e-5
+    )
+    # The claim is "TP is the same computation, column-sharded" — so the
+    # UPDATED params (hash tables included, gathered back off the model
+    # axis) must match DP after the optimizer step, not just the loss.
+    flat_dp = jax.tree_util.tree_leaves_with_path(st_dp2.params)
+    flat_tp = jax.tree_util.tree_leaves_with_path(st_tp2.params)
+    assert len(flat_dp) == len(flat_tp)
+    for (path_d, leaf_d), (path_t, leaf_t) in zip(flat_dp, flat_tp):
+        assert path_d == path_t
+        np.testing.assert_allclose(
+            np.asarray(leaf_d),
+            np.asarray(leaf_t),
+            rtol=2e-4,
+            atol=2e-6,
+            err_msg=jax.tree_util.keystr(path_d),
+        )
+    np.testing.assert_allclose(
+        np.asarray(st_dp2.pose_deltas),
+        np.asarray(st_tp2.pose_deltas),
+        rtol=2e-4,
+        atol=2e-6,
+    )
+
+
+def test_tp_occupancy_grid_refreshes():
+    """The NGP path on a 2D data x model mesh must refresh its occupancy
+    grid every update_every steps (this was a pass-through gap: the TP
+    step trained against a frozen grid while the DP step refreshed)."""
+    import jax.numpy as jnp
+
+    from nerf_vo_tpu.mapping import keyframe_buffer as kb
+    from nerf_vo_tpu.mapping.trainer import MappingTrainer, TrainerConfig
+    from nerf_vo_tpu.models.nerfacto import NerfactoConfig, NerfactoModel
+    from nerf_vo_tpu.ops.occupancy import OccupancyConfig
+    from nerf_vo_tpu.parallel import sharding
+
+    K, H, W = 4, 12, 16
+    model = NerfactoModel(
+        NerfactoConfig(
+            num_proposal_samples=(),
+            num_nerf_samples=8,
+            num_images=K,
+            log2_hashmap_size=8,
+            max_res=32,
+            proposal_resolutions=(),
+            sampler="occupancy",
+            num_occ_bins=16,
+            occupancy=OccupancyConfig(
+                resolution=8, update_every=2, slab_div=2
+            ),
+        )
+    )
+    trainer = MappingTrainer(
+        model, TrainerConfig(rays_per_batch=64, max_iterations=8), K
+    )
+    buf = kb.create(K, H, W)
+    packet = {
+        "intrinsics": jnp.tile(jnp.asarray([10.0, 10.0, W / 2, H / 2]),
+                               (K, 1)),
+        "c2w": jnp.tile(jnp.eye(4), (K, 1, 1)),
+        "color": jnp.full((K, H, W, 3), 0.5),
+        "depth": jnp.full((K, H, W), 2.0),
+        "normal": jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (K, H, W, 1)),
+    }
+    buf = kb.insert(buf, jnp.arange(K), packet)
+
+    mesh = sharding.make_mesh_2d(4, 2)
+    state = sharding.shard_state_tp(trainer.init(jax.random.PRNGKey(0)),
+                                    mesh)
+    assert state.occ_grid is not None
+    grid0 = np.asarray(state.occ_grid).copy()
+    step = sharding.make_dp_tp_train_step(trainer, mesh)
+    buf = sharding.replicate(buf, mesh)
+    for i in range(2):
+        state, metrics = step(state, buf, jax.random.PRNGKey(10 + i))
+    assert np.isfinite(float(metrics["loss"]))
+    # step counter starts at 0, so the refresh fires on the first step
+    assert not np.allclose(np.asarray(state.occ_grid), grid0), (
+        "occupancy grid unchanged after update_every TP steps"
     )
 
 
