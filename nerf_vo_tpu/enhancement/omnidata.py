@@ -25,10 +25,24 @@ class OmnidataEstimator:
     def __init__(self, depth_params=None, normal_params=None,
                  use_normals: bool = True, image_size: int = 384,
                  seed: int = 0):
+        import os
+
         self.image_size = image_size
         self.use_normals = use_normals
         self.depth_model = DPTHybrid(num_channels=1, image_size=image_size)
         self.normal_model = DPTHybrid(num_channels=3, image_size=image_size)
+        if depth_params is None:
+            ckpt = os.environ.get("NERF_VO_OMNIDATA_DEPTH_WEIGHTS")
+            if ckpt:
+                from nerf_vo_tpu.models.dpt import load_torch_weights
+
+                depth_params = load_torch_weights(ckpt, 1)["params"]
+        if normal_params is None and use_normals:
+            ckpt = os.environ.get("NERF_VO_OMNIDATA_NORMAL_WEIGHTS")
+            if ckpt:
+                from nerf_vo_tpu.models.dpt import load_torch_weights
+
+                normal_params = load_torch_weights(ckpt, 3)["params"]
         if depth_params is None:
             depth_params = self._random_init(jax.random.PRNGKey(seed),
                                              self.depth_model)
@@ -50,13 +64,15 @@ class OmnidataEstimator:
         normal [K,H,W,3] in [0,1]) at the original resolution."""
         K, H, W, _ = frames.shape
         s = self.image_size
-        x = jax.image.resize(frames, (K, s, s, 3), "bilinear")
+        # cubic resize to mirror the reference's bicubic interpolate
+        # (omnidata_estimator.py:79-83; jax uses Keys a=-0.5 vs torch -0.75)
+        x = jax.image.resize(frames, (K, s, s, 3), "cubic")
         d_in = (x - 0.5) / 0.5  # depth model: Normalize(0.5, 0.5)
         depth = self.depth_model.apply(depth_params, d_in)[..., 0]
-        depth = jax.image.resize(depth, (K,) + hw, "bilinear")
+        depth = jax.image.resize(depth, (K,) + hw, "cubic")
         if normal_params is not None:
             normal = self.normal_model.apply(normal_params, x)
-            normal = jax.image.resize(normal, (K,) + hw + (3,), "bilinear")
+            normal = jax.image.resize(normal, (K,) + hw + (3,), "cubic")
         else:
             normal = jnp.zeros((K,) + hw + (3,))
         return jnp.clip(depth, 0.0, 1.0), jnp.clip(normal, 0.0, 1.0)

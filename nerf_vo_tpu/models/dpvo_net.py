@@ -1,23 +1,42 @@
 """DPVO network stack in Flax: feature/context encoders + patch update net.
 
 TPU-native replacement for the DPVO submodule's torch networks (reference
-N1 [upstream]; consumed via nerf_vo/tracking/dpvo.py:8-9,62-64): a RAFT-style
-residual encoder producing matching features (128-d) and context features
-(384-d) at 1/4 resolution, a patchifier that extracts 3x3 patch grids, and
-the recurrent update operator that turns correlation + context into per-edge
-flow deltas and confidence weights.
+N1 [upstream]; consumed via nerf_vo/tracking/dpvo.py:8-9,62-64). The module
+topology mirrors the upstream DPVO ``VONet`` exactly so that
+``convert_torch_checkpoint`` can load a real ``dpvo.pth``:
 
-Weight conversion: `convert_torch_checkpoint` maps a ``dpvo.pth`` state dict
-onto these modules when a checkpoint is available (none can be fetched in
-this zero-egress environment, so geometric correctness is validated with
-oracle tests and the nets are exercised with random init).
+  * ``patchify.fnet`` — BasicEncoder4 (1/4 res, instance norm, 128-d
+    matching features) and ``patchify.inet`` (no norm, 384-d context),
+    both scaled by 1/4 after the head conv, on images normalized
+    ``2*(x/255) - 0.5``.
+  * ``update`` — per-edge operator over the patch graph: corr MLP
+    (882 -> 384 with an inner LayerNorm), additive context, LayerNorm,
+    temporal neighbor mixing ``c1``/``c2`` (2-layer MLPs applied to the
+    hidden state of the SAME patch's edge to frame j-1 / j+1; a missing
+    neighbor feeds zeros, so the MLP bias still flows — an upstream
+    quirk we replicate), softmax aggregation over patch groups
+    (``agg_kk``) and over (source, target) frame-pair groups
+    (``agg_ij``), a 2x (LayerNorm + GatedResidual) "gru", and the
+    ``d``/``w`` heads for flow delta and confidence.
 
-All convolutions are NHWC (TPU-native layout).
+All convolutions are NHWC (TPU-native layout); edge tensors are padded to
+a static size and masked (dead edges route to trash aggregation groups so
+they can never pollute a live group — upstream has no padding at all).
+
+Checkpoint layout caveats (upstream submodule is EMPTY in the reference
+checkout, so these are pinned to public DPVO and must be re-verified
+against a real ``dpvo.pth`` when one is available):
+  * corr feature layout: ours is ``[level(2), patch_px(9, row-major),
+    dy*7+dx]`` (ops/correlation.py); if upstream's flatten order differs,
+    pass ``corr_perm`` to ``convert_torch_checkpoint`` to permute the
+    first corr Linear's input rows.
+  * the ``update.lmbda`` scalar (a learned BA damping) is ignored at
+    load, as upstream's own loader does.
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -42,18 +61,21 @@ class ResidualBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         norm = self._norm()
-        y = nn.Conv(self.planes, (3, 3), strides=self.stride, padding=1)(x)
+        y = nn.Conv(self.planes, (3, 3), strides=self.stride, padding=1,
+                    name="conv1")(x)
         y = nn.relu(norm(y))
-        y = nn.Conv(self.planes, (3, 3), padding=1)(y)
+        y = nn.Conv(self.planes, (3, 3), padding=1, name="conv2")(y)
         y = nn.relu(norm(y))
-        if self.stride > 1 or x.shape[-1] != self.planes:
-            x = nn.Conv(self.planes, (1, 1), strides=self.stride)(x)
+        if self.stride > 1:
+            x = nn.Conv(self.planes, (1, 1), strides=self.stride,
+                        padding=0, name="downsample")(x)
             x = norm(x)
         return nn.relu(x + y)
 
 
 class BasicEncoder4(nn.Module):
-    """RAFT-style encoder to 1/4 resolution (DPVO BasicEncoder4 [upstream])."""
+    """RAFT-style encoder to 1/4 resolution (DPVO BasicEncoder4 [upstream]):
+    conv7x7/2 -> 2 blocks @32 -> 2 blocks @64 (first strided) -> 1x1."""
 
     output_dim: int = 128
     norm: str = "instance"
@@ -61,18 +83,19 @@ class BasicEncoder4(nn.Module):
 
     @nn.compact
     def __call__(self, images):
-        """images: [B, H, W, 3] float in [-0.5, 0.5]-ish. -> [B, H/4, W/4, D]."""
-        x = nn.Conv(self.dim, (7, 7), strides=2, padding=3)(images)
+        """images: [B, H, W, 3] normalized floats -> [B, H/4, W/4, D]."""
+        x = nn.Conv(self.dim, (7, 7), strides=2, padding=3,
+                    name="conv1")(images)
         if self.norm == "instance":
             x = (x - x.mean((1, 2), keepdims=True)) / jnp.sqrt(
                 x.var((1, 2), keepdims=True) + 1e-5
             )
         x = nn.relu(x)
-        x = ResidualBlock(self.dim, 1, self.norm)(x)
-        x = ResidualBlock(self.dim, 1, self.norm)(x)
-        x = ResidualBlock(2 * self.dim, 2, self.norm)(x)
-        x = ResidualBlock(2 * self.dim, 2 // 2, self.norm)(x)
-        return nn.Conv(self.output_dim, (1, 1))(x)
+        x = ResidualBlock(self.dim, 1, self.norm, name="layer1_0")(x)
+        x = ResidualBlock(self.dim, 1, self.norm, name="layer1_1")(x)
+        x = ResidualBlock(2 * self.dim, 2, self.norm, name="layer2_0")(x)
+        x = ResidualBlock(2 * self.dim, 1, self.norm, name="layer2_1")(x)
+        return nn.Conv(self.output_dim, (1, 1), name="conv2")(x)
 
 
 def avg_pool2(x):
@@ -99,66 +122,107 @@ def extract_patches(fmap, coords, radius: int = 1):
     return bilinear_gather(fmap[None], frame, c)
 
 
+class MLP2(nn.Module):
+    """Linear -> ReLU -> Linear (upstream's c1/c2 and GatedResidual.res)."""
+
+    dim: int = 384
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.relu(nn.Dense(self.dim, name="lin0")(x))
+        return nn.Dense(self.dim, name="lin2")(x)
+
+
+class GatedResidual(nn.Module):
+    """x + sigmoid(gate(x)) * res(x) (upstream GatedResidual)."""
+
+    dim: int = 384
+
+    @nn.compact
+    def __call__(self, x):
+        gate = nn.sigmoid(nn.Dense(self.dim, name="gate0")(x))
+        res = MLP2(self.dim, name="res")(x)
+        return x + gate * res
+
+
 class SoftAgg(nn.Module):
-    """Softmax-weighted aggregation of edge states over a grouping index
-    (DPVO's SoftAgg over patch / frame groups [upstream])."""
+    """Channel-wise softmax-weighted aggregation over a grouping index
+    (upstream SoftAgg: w = scatter_softmax(g(x)); y = scatter_sum(f(x)*w);
+    out = h(y) expanded back to edges)."""
 
     dim: int = 384
 
     @nn.compact
     def __call__(self, x, groups, num_groups: int):
         # x: [E, D]; groups: [E] int32 in [0, num_groups)
-        logits = nn.Dense(1)(x)[..., 0]  # [E]
-        # segment softmax
-        gmax = jnp.full((num_groups,), -jnp.inf).at[groups].max(logits)
-        ex = jnp.exp(logits - gmax[groups])
-        gsum = jnp.zeros((num_groups,)).at[groups].add(ex)
+        gx = nn.Dense(self.dim, name="g")(x)  # [E, D]
+        fx = nn.Dense(self.dim, name="f")(x)
+        gmax = jnp.full((num_groups, self.dim), -jnp.inf).at[groups].max(gx)
+        ex = jnp.exp(gx - gmax[groups])
+        gsum = jnp.zeros((num_groups, self.dim)).at[groups].add(ex)
         w = ex / jnp.clip(gsum[groups], 1e-12)
-        agg = jnp.zeros((num_groups, x.shape[-1])).at[groups].add(
-            x * w[:, None]
-        )
-        return nn.Dense(self.dim)(agg[groups])
+        y = jnp.zeros((num_groups, self.dim)).at[groups].add(fx * w)
+        return nn.Dense(self.dim, name="h")(y)[groups]
 
 
 class UpdateNet(nn.Module):
-    """Recurrent patch-graph update operator (DPVO Update [upstream]).
-
-    Per edge: encode correlation + current flow estimate, mix with context,
-    aggregate over edges sharing a patch and edges sharing a frame, gated
-    residual update of the hidden state, then regress (delta, weight).
-    """
+    """Recurrent patch-graph update operator (upstream DPVO Update)."""
 
     dim: int = 384
-    corr_dim: int = 882  # 2 levels * 3*3 * 7*7
+    corr_dim: int = 882  # 2 levels * 3*3 patch px * 7*7 lookups
 
     @nn.compact
-    def __call__(self, net, imap, corr, flow, kk, jj, num_patches: int,
-                 num_frames: int):
+    def __call__(self, net, imap, corr, kk, pair, ix, jx, live,
+                 num_patches: int, num_pairs: int):
         """
         Args:
           net: [E, D] hidden state per edge.
           imap: [E, D] context features (host patch context per edge).
           corr: [E, corr_dim] correlation features.
-          flow: [E, 2] current flow residual estimate (pixels, detached).
-          kk: [E] patch index per edge; jj: [E] target frame per edge.
+          kk: [E] patch-group index in [0, num_patches]; dead edges must
+            point at the trash group ``num_patches``.
+          pair: [E] (source, target) frame-pair group in [0, num_pairs];
+            trash group ``num_pairs`` for dead edges.
+          ix, jx: [E] edge-slot index of the same patch's edge to the
+            previous / next target frame, or -1 when absent.
+          live: [E] bool edge liveness.
 
         Returns: (net', delta [E, 2], weight [E, 2])
         """
-        corr = nn.relu(nn.Dense(self.dim)(corr))
-        corr = nn.relu(nn.Dense(self.dim)(corr))
-        flw = nn.relu(nn.Dense(self.dim)(flow / 8.0))
-        x = nn.LayerNorm()(net + imap + corr + flw)
-        x = x + SoftAgg(self.dim, name="agg_kk")(x, kk, num_patches)
-        x = x + SoftAgg(self.dim, name="agg_jj")(x, jj, num_frames)
+        c = nn.relu(nn.Dense(self.dim, name="corr0")(corr))
+        c = nn.Dense(self.dim, name="corr2")(c)
+        c = nn.relu(nn.LayerNorm(epsilon=1e-3, name="corr3")(c))
+        c = nn.Dense(self.dim, name="corr5")(c)
 
-        # gated (GRU-style) hidden update
-        z = nn.sigmoid(nn.Dense(self.dim)(jnp.concatenate([net, x], -1)))
-        q = jnp.tanh(nn.Dense(self.dim)(jnp.concatenate([net, x], -1)))
-        net = (1.0 - z) * net + z * q
+        net = net + imap + c
+        net = nn.LayerNorm(epsilon=1e-3, name="norm")(net)
 
-        h = nn.relu(nn.Dense(self.dim)(net))
-        delta = nn.Dense(2)(h)
-        weight = nn.sigmoid(nn.Dense(2)(h))
+        # temporal neighbor mixing: same patch, target frame -1 / +1.
+        # Missing neighbor -> zero input (the MLP bias still contributes —
+        # exact upstream behavior). Sequential: c2 reads the c1-updated net.
+        prev = jnp.where(
+            (ix >= 0)[:, None], net[jnp.clip(ix, 0)], 0.0
+        )
+        net = net + MLP2(self.dim, name="c1")(prev)
+        nxt = jnp.where(
+            (jx >= 0)[:, None], net[jnp.clip(jx, 0)], 0.0
+        )
+        net = net + MLP2(self.dim, name="c2")(nxt)
+
+        net = net + SoftAgg(self.dim, name="agg_kk")(
+            net, kk, num_patches + 1
+        )
+        net = net + SoftAgg(self.dim, name="agg_ij")(
+            net, pair, num_pairs + 1
+        )
+
+        net = nn.LayerNorm(epsilon=1e-3, name="gru0")(net)
+        net = GatedResidual(self.dim, name="gru1")(net)
+        net = nn.LayerNorm(epsilon=1e-3, name="gru2")(net)
+        net = GatedResidual(self.dim, name="gru3")(net)
+
+        delta = nn.Dense(2, name="d1")(nn.relu(net))
+        weight = nn.sigmoid(nn.Dense(2, name="w1")(nn.relu(net)))
         return net, delta, weight
 
 
@@ -174,21 +238,27 @@ class DPVONet(nn.Module):
         self.update = UpdateNet(dim=self.cdim)
 
     def encode(self, images):
-        """images [B, H, W, 3] uint8-range floats. Returns (fmap1, fmap2, imap)."""
-        x = images / 255.0 - 0.5
-        fmap1 = self.fnet(x)
-        imap = self.inet(x)
+        """images [B, H, W, 3] uint8-range floats.
+
+        Returns (fmap1, fmap2, imap). Normalization 2*(x/255) - 0.5 and the
+        /4 output scaling match upstream's VONet/Patchifier, so converted
+        weights see their training distribution; correlation is then raw
+        dot products of the pre-scaled features (no extra normalizer).
+        """
+        x = 2.0 * (images / 255.0) - 0.5
+        fmap1 = self.fnet(x) * 0.25
+        imap = self.inet(x) * 0.25
         return fmap1, avg_pool2(fmap1), imap
 
-    def update_step(self, net, imap, corr, flow, kk, jj, num_patches,
-                    num_frames):
-        return self.update(net, imap, corr, flow, kk, jj, num_patches,
-                           num_frames)
+    def update_step(self, net, imap, corr, kk, pair, ix, jx, live,
+                    num_patches, num_pairs):
+        return self.update(net, imap, corr, kk, pair, ix, jx, live,
+                           num_patches, num_pairs)
 
-    def __call__(self, images, net, imap_e, corr, flow, kk, jj):
+    def __call__(self, images, net, imap_e, corr, kk, pair, ix, jx, live):
         """Joint forward for init only."""
         f1, f2, im = self.encode(images)
-        out = self.update(net, imap_e, corr, flow, kk, jj, 4, 4)
+        out = self.update(net, imap_e, corr, kk, pair, ix, jx, live, 4, 4)
         return f1, f2, im, out
 
 
@@ -204,22 +274,149 @@ def init_dpvo_params(key, height: int = 120, width: int = 160,
         jnp.zeros((E, 384)),
         jnp.zeros((E, 384)),
         jnp.zeros((E, corr_dim)),
-        jnp.zeros((E, 2)),
         jnp.zeros((E,), jnp.int32),
         jnp.zeros((E,), jnp.int32),
+        jnp.full((E,), -1, jnp.int32),
+        jnp.full((E,), -1, jnp.int32),
+        jnp.ones((E,), bool),
     )["params"]
     return model, params
 
 
-def convert_torch_checkpoint(state_dict: Dict[str, Any]) -> Dict[str, Any]:
+# --------------------------------------------------------------------------
+# dpvo.pth conversion
+# --------------------------------------------------------------------------
+
+def _lin(sd, prefix):
+    import numpy as np
+
+    return {
+        "kernel": np.asarray(sd[prefix + ".weight"]).T,
+        "bias": np.asarray(sd[prefix + ".bias"]),
+    }
+
+
+def _conv_kb(sd, prefix):
+    import numpy as np
+
+    return {
+        "kernel": np.transpose(np.asarray(sd[prefix + ".weight"]),
+                               (2, 3, 1, 0)),
+        "bias": np.asarray(sd[prefix + ".bias"]),
+    }
+
+
+def _ln(sd, prefix):
+    import numpy as np
+
+    return {
+        "scale": np.asarray(sd[prefix + ".weight"]),
+        "bias": np.asarray(sd[prefix + ".bias"]),
+    }
+
+
+def _res_block(sd, prefix):
+    out = {
+        "conv1": _conv_kb(sd, prefix + ".conv1"),
+        "conv2": _conv_kb(sd, prefix + ".conv2"),
+    }
+    if prefix + ".downsample.0.weight" in sd:
+        out["downsample"] = _conv_kb(sd, prefix + ".downsample.0")
+    return out
+
+
+def _encoder4(sd, prefix):
+    return {
+        "conv1": _conv_kb(sd, prefix + ".conv1"),
+        "conv2": _conv_kb(sd, prefix + ".conv2"),
+        "layer1_0": _res_block(sd, prefix + ".layer1.0"),
+        "layer1_1": _res_block(sd, prefix + ".layer1.1"),
+        "layer2_0": _res_block(sd, prefix + ".layer2.0"),
+        "layer2_1": _res_block(sd, prefix + ".layer2.1"),
+    }
+
+
+def _mlp2(sd, prefix):
+    return {"lin0": _lin(sd, prefix + ".0"), "lin2": _lin(sd, prefix + ".2")}
+
+
+def _softagg(sd, prefix):
+    return {
+        "f": _lin(sd, prefix + ".f"),
+        "g": _lin(sd, prefix + ".g"),
+        "h": _lin(sd, prefix + ".h"),
+    }
+
+
+def convert_torch_checkpoint(
+    state_dict: Dict[str, Any],
+    corr_perm: Optional[Any] = None,
+) -> Dict[str, Any]:
     """Map a torch ``dpvo.pth`` state dict onto DPVONet params.
 
-    Placeholder until a checkpoint is available in-environment: the upstream
-    submodule is empty in the reference checkout (SURVEY.md header) and the
-    environment has no egress, so the exact upstream layer naming cannot be
-    verified. The mapping must be completed against the real checkpoint
-    (torch NCHW conv kernels -> HWIO transpose, linear weights -> transpose).
+    Strips optional ``module.`` prefixes, drops the unused ``update.lmbda``
+    scalar (upstream's loader does the same), transposes conv kernels
+    OIHW -> HWIO and linear weights [out, in] -> [in, out].
+
+    Args:
+      corr_perm: optional [882] permutation mapping OUR corr layout to the
+        checkpoint's expected input order, applied to the rows of
+        ``update.corr.0.weight`` (see module docstring).
+
+    Returns the ``{"params": ...}`` tree expected by ``DPVONet.apply``.
     """
-    raise NotImplementedError(
-        "requires a dpvo.pth checkpoint to validate layer mapping"
-    )
+    import numpy as np
+
+    sd = {}
+    for k, v in state_dict.items():
+        k = k.replace("module.", "")
+        if "update.lmbda" in k:
+            continue
+        sd[k] = np.asarray(v)
+
+    corr0 = _lin(sd, "update.corr.0")
+    if corr_perm is not None:
+        corr0 = {
+            "kernel": corr0["kernel"][np.asarray(corr_perm)],
+            "bias": corr0["bias"],
+        }
+
+    update = {
+        "corr0": corr0,
+        "corr2": _lin(sd, "update.corr.2"),
+        "corr3": _ln(sd, "update.corr.3"),
+        "corr5": _lin(sd, "update.corr.5"),
+        "norm": _ln(sd, "update.norm"),
+        "c1": _mlp2(sd, "update.c1"),
+        "c2": _mlp2(sd, "update.c2"),
+        "agg_kk": _softagg(sd, "update.agg_kk"),
+        "agg_ij": _softagg(sd, "update.agg_ij"),
+        "gru0": _ln(sd, "update.gru.0"),
+        "gru1": {
+            "gate0": _lin(sd, "update.gru.1.gate.0"),
+            "res": _mlp2(sd, "update.gru.1.res"),
+        },
+        "gru2": _ln(sd, "update.gru.2"),
+        "gru3": {
+            "gate0": _lin(sd, "update.gru.3.gate.0"),
+            "res": _mlp2(sd, "update.gru.3.res"),
+        },
+        "d1": _lin(sd, "update.d.1"),
+        "w1": _lin(sd, "update.w.1"),
+    }
+    return {
+        "params": {
+            "fnet": _encoder4(sd, "patchify.fnet"),
+            "inet": _encoder4(sd, "patchify.inet"),
+            "update": update,
+        }
+    }
+
+
+def load_torch_weights(path: str) -> Dict[str, Any]:
+    """Load + convert a dpvo.pth checkpoint from disk (see the env hook
+    ``NERF_VO_DPVO_WEIGHTS`` in runtime/stages.py)."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return convert_torch_checkpoint(sd)

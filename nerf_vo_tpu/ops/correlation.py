@@ -178,4 +178,6 @@ def patch_correlation(
 
     out = jax.lax.map(do_chunk, (pf, jj_p, ce))
     out = out.reshape(-1, 2 * 9 * D * D)[:E]
-    return out / jnp.sqrt(jnp.asarray(C, jnp.float32))
+    # raw dot products: upstream DPVO scales fmaps by 1/4 at encode instead
+    # of normalizing the correlation (models/dpvo_net.py encode)
+    return out

@@ -188,4 +188,5 @@ def patch_correlation_pallas(
     c2 = _level_pallas(fmap2, block_frame, pf9, center_sorted * 0.5,
                        radius, n_blocks)
     out = jnp.stack([c1, c2], axis=0).reshape(2 * 9 * D * D, E2)
-    return out.T / jnp.sqrt(jnp.asarray(C, jnp.float32))
+    # raw dot products (upstream scales fmaps by 1/4 at encode instead)
+    return out.T

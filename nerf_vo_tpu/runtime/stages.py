@@ -84,6 +84,14 @@ class TrackingStage:
             jax.random.PRNGKey(42), args.frame_height, args.frame_width,
             corr_radius=cfg.corr_radius,
         )
+        if params is None:
+            import os
+
+            ckpt = os.environ.get("NERF_VO_DPVO_WEIGHTS")
+            if ckpt:
+                from nerf_vo_tpu.models.dpvo_net import load_torch_weights
+
+                params = load_torch_weights(ckpt)["params"]
         self.tracker = DPVOTracker(
             cfg, net, params if params is not None else p,
             args.frame_height, args.frame_width,
@@ -113,6 +121,14 @@ class TrackingStage:
             compute_covariances=getattr(args, "compute_covariances", True),
         )
         net, p = init_droid_params(_jax.random.PRNGKey(42), H, W)
+        if params is None:
+            import os
+
+            ckpt = os.environ.get("NERF_VO_DROID_WEIGHTS")
+            if ckpt:
+                from nerf_vo_tpu.models.droid_net import load_torch_weights
+
+                params = load_torch_weights(ckpt)["params"]
         self.tracker = DROIDSLAMTracker(
             cfg, net, params if params is not None else p, H, W
         )

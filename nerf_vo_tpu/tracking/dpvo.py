@@ -353,13 +353,28 @@ class DPVOTracker:
                     jnp.zeros((ba_iters,)), z)
 
         h = jnp.where(e_new[:, None], 0.0, hidden)
-        tgt_prev = jnp.where(e_new[:, None], center, e_target)
-        flow = jax.lax.stop_gradient(center - tgt_prev)
+
+        # --- update-net grouping metadata (upstream Update semantics) ----
+        # Temporal neighbors: the same patch's edge to target frame jj-1 /
+        # jj+1, found via a modular lookup table — live targets span less
+        # than ring_size frames, so jj mod R is unique per patch window.
+        # Pair groups: (host window position, target) for agg_ij. Dead
+        # edges route to trash entries so they never touch a live group.
+        nbr_idx = jnp.where(e_live, kk * R + e_jj_c % R, KL * R)
+        nbr_tab = jnp.full((KL * R + 1,), -1, jnp.int32).at[nbr_idx].set(
+            jnp.arange(E, dtype=jnp.int32)
+        )
+        ix = nbr_tab[jnp.where(e_live, kk * R + (e_jj_c - 1) % R, KL * R)]
+        jx = nbr_tab[jnp.where(e_live, kk * R + (e_jj_c + 1) % R, KL * R)]
+        kk_g = jnp.where(e_live, kk, KL)
+        pair_g = jnp.where(
+            e_live, jnp.clip(base, 0) * R + e_jj_c % R, LIFE * R
+        )
 
         im_e = imap[jnp.clip(e_host_ring, 0, R - 1), kk % P].astype(jnp.float32)
         h, delta, weight = self.net.apply(
-            params, h, im_e, corr, flow,
-            kk, jnp.clip(e_jj_ring, 0, R - 1), KL, R,
+            params, h, im_e, corr, kk_g, pair_g, ix, jx, e_live,
+            KL, LIFE * R,
             method=self.net.update_step,
         )
         target = jax.lax.stop_gradient(center) + delta

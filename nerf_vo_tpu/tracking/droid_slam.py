@@ -34,7 +34,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from nerf_vo_tpu.core import lie
-from nerf_vo_tpu.models.droid_net import DroidNet, cvx_upsample
+from nerf_vo_tpu.models.droid_net import (
+    DroidNet,
+    cvx_upsample,
+    normalize_images,
+)
 from nerf_vo_tpu.ops import dense_ba
 from nerf_vo_tpu.ops.dense_corr import build_corr_pyramid, corr_lookup
 
@@ -110,7 +114,10 @@ class DROIDSLAMTracker:
     # ------------------------------------------------------------------
 
     def _encode_impl(self, params, image):
-        x = (image[None] / 255.0 - 0.5)
+        # ImageNet normalization, matching the reference's
+        # droid_normalization (droid_slam.py:1290-1301) so converted
+        # droid.pth weights see the distribution they were trained on.
+        x = normalize_images(image[None])
         fmap = self.net.apply(params, x, method=self.net.encode_features)[0]
         net0, inp = self.net.apply(params, x, method=self.net.encode_context)
         return (

@@ -61,7 +61,8 @@ def test_patch_correlation_peak_at_matching_feature():
     # level 0, center patch pixel (p=4): peak at window center (3, 3)
     c = corr[0, 4]
     assert np.unravel_index(np.argmax(c), c.shape) == (3, 3)
-    np.testing.assert_allclose(c[3, 3], C / np.sqrt(C), atol=1e-5)
+    # raw dot product (upstream scales fmaps at encode, not the corr)
+    np.testing.assert_allclose(c[3, 3], C, atol=1e-5)
 
 
 def test_patch_correlation_fractional_blend():

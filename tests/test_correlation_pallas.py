@@ -57,9 +57,10 @@ def test_pallas_matches_xla(rng):
                           jnp.asarray(ctr), radius=3, chunk=E)
     )
     assert np.isfinite(got).all()
-    # interior edges match to bf16 precision
+    # interior edges match to bf16 precision; un-normalized dot products
+    # over C=128 bf16 channels carry ~sqrt(C) * 2^-8 relative error
     err = np.abs(got[2:] - want[2:])
     rel = err / (np.abs(want[2:]) + 1.0)
-    assert rel.max() < 0.02, rel.max()
+    assert rel.max() < 0.05, rel.max()
     # fully off-screen edge is zeroed
     assert np.abs(got[1]).max() == 0.0
