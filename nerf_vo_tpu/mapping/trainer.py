@@ -127,6 +127,16 @@ class MappingTrainer:
             pose_deltas = state.pose_deltas
             cam_opt_state = state.cam_opt_state
 
+        mcfg = self.model.config
+        if (mcfg.proposal_training == "distill"
+                and self.model.proposal_fields):
+            params = jax.lax.cond(
+                state.step % mcfg.proposal_refresh_every == 0,
+                lambda p: self.model.refresh_proposals(p, state.step),
+                lambda p: p,
+                params,
+            )
+
         occ_grid = state.occ_grid
         if occ_grid is not None:
             occ_cfg = self.model.config.occupancy

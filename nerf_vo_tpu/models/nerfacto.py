@@ -67,6 +67,21 @@ class NerfactoConfig:
     # hash grid + MLP mirroring nerfstudio's HashMLPDensityField.
     proposal_type: str = "dense"
     proposal_resolutions: Tuple[int, ...] = (128, 160)
+    # proposal TRAINING mechanism:
+    #   "interlevel" — nerfacto semantics: proposals learn through the
+    #     interlevel histogram loss (their only gradient path). On TPU that
+    #     backward is pure scatter descriptors (~27 ms/step at production
+    #     sizes, scripts/profile_mapping_ablate.py).
+    #   "distill" (default) — TPU-first redesign: proposal grids carry NO
+    #     gradients; a rotating brick slab is re-evaluated against the
+    #     CURRENT field density every proposal_refresh_every steps
+    #     (dynamic_update_slice, zero scatters), exactly the mechanism the
+    #     NGP occupancy grid uses. Proposals only gate sample placement,
+    #     so direct distillation preserves capability; requires
+    #     proposal_type == "dense".
+    proposal_training: str = "distill"
+    proposal_refresh_every: int = 16
+    proposal_refresh_bricks: int = 8192  # bricks re-evaluated per refresh
     # mesh axis name for tensor-parallel (column-sharded) hash tables; set
     # only when the train step runs inside a shard_map over that axis
     # (parallel/sharding.py make_dp_tp_train_step). None = replicated.
@@ -201,6 +216,11 @@ class NerfactoModel:
                 deltas = t_edges[..., 1:] - t_edges[..., :-1]
                 pos = self._positions(origins, directions, t_mid)
                 density = pf.apply({"params": params[f"proposal_{i}"]}, pos)
+                if cfg.proposal_training == "distill":
+                    # distilled proposals carry no gradients: kills the
+                    # backward scatter through the proposal tables AND the
+                    # pose-gradient chain through proposal sampling
+                    density = jax.lax.stop_gradient(density)
                 weights, _ = R.render_weights(density, deltas)
                 edges_list.append(s_edges)
                 weights_list.append(weights)
@@ -314,7 +334,7 @@ class NerfactoModel:
         # configs skip the computation entirely, not just the add)
         final_edges = out["s_edges_list"][-1]
         final_w = out["weights_list"][-1]
-        if cfg.interlevel_loss_mult > 0:
+        if cfg.interlevel_loss_mult > 0 and cfg.proposal_training != "distill":
             inter = 0.0
             for pe, pw in zip(out["s_edges_list"][:-1],
                               out["weights_list"][:-1]):
@@ -378,6 +398,61 @@ class NerfactoModel:
         metrics["loss"] = loss
         metrics["psnr"] = -10.0 * jnp.log10(jnp.clip(metrics["rgb_loss"], 1e-10))
         return loss, metrics
+
+    # -- proposal distillation ----------------------------------------------
+
+    def refresh_proposals(self, params, step):
+        """Re-evaluate one rotating brick slab of every dense proposal grid
+        against the CURRENT field density (proposal_training == "distill").
+
+        Zero scatter descriptors: corner densities are written back with one
+        dynamic_update_slice per level. Proposal and field share the same
+        unit-cube contraction, so corner lattice coordinates feed
+        ``field.density_unit`` directly.
+        """
+        cfg = self.config
+        assert cfg.proposal_type == "dense", "distill requires dense proposals"
+        field_params = {"params": params["field"]}
+        new_params = dict(params)
+        for i, pf in enumerate(self.proposal_fields):
+            b0, col = self._proposal_slab(field_params, pf, step)
+            tables = params[f"proposal_{i}"]["tables"]
+            tables = jax.lax.dynamic_update_slice(tables, col, (0, b0))
+            new_params[f"proposal_{i}"] = dict(
+                params[f"proposal_{i}"], tables=tables
+            )
+        return new_params
+
+    def _proposal_slab(self, field_params, pf, step):
+        """(start column, [32, S] refreshed brick columns) of one dense
+        proposal grid's rotating slab, distilled from the field."""
+        cfg = self.config
+        g = pf.grid
+        res = g.base_resolution
+        bpa = ((res - 1) >> 1) + 1
+        nb_real = bpa**3
+        S = min(nb_real, cfg.proposal_refresh_bricks)
+        n_slabs = max(nb_real // S, 1)
+        rot = (step // cfg.proposal_refresh_every) % n_slabs
+        b0 = rot * S
+        bids = b0 + jnp.arange(S, dtype=jnp.int32)
+        bx = bids // (bpa * bpa)
+        by = (bids // bpa) % bpa
+        bz = bids % bpa
+        e = jnp.arange(27, dtype=jnp.int32)
+        ex, ey, ez = e // 9, (e // 3) % 3, e % 3  # hash_encode W order
+        gx = 2 * bx[None, :] + ex[:, None]
+        gy = 2 * by[None, :] + ey[:, None]
+        gz = 2 * bz[None, :] + ez[:, None]
+        unit = jnp.stack([gx, gy, gz], -1).astype(jnp.float32) / res
+        density = self.field.apply(
+            field_params, unit, method=self.field.density_unit
+        )  # [27, S]
+        logits = jnp.log(jnp.clip(density, 1e-8, 1e8)) + 1.0
+        col = jnp.concatenate(
+            [logits, jnp.zeros((5, S), logits.dtype)], axis=0
+        )  # pad to the 32-row brick column (pad rows carry zero weight)
+        return b0, jax.lax.stop_gradient(col)
 
     # -- occupancy maintenance ----------------------------------------------
 

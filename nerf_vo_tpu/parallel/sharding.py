@@ -170,6 +170,16 @@ def make_dp_train_step(trainer: MappingTrainer, mesh: Mesh, axis: str = "data"):
         else:
             pose_deltas = state.pose_deltas
             cam_opt_state = state.cam_opt_state
+        mcfg = trainer.model.config
+        if (mcfg.proposal_training == "distill"
+                and trainer.model.proposal_fields):
+            # replicated refresh: deterministic slab -> identical tables
+            params = jax.lax.cond(
+                state.step % mcfg.proposal_refresh_every == 0,
+                lambda p: trainer.model.refresh_proposals(p, state.step),
+                lambda p: p,
+                params,
+            )
         occ_grid = state.occ_grid
         if occ_grid is not None:
             # replicated refresh: same key on every device -> identical grids
@@ -193,6 +203,32 @@ def make_dp_train_step(trainer: MappingTrainer, mesh: Mesh, axis: str = "data"):
         return new_state, metrics
 
     return jax.jit(dp_step, donate_argnums=(0,))
+
+
+def _tp_refresh_proposals(tp_model, params, step, n_model: int, axis: str):
+    """Distill-refresh the dense proposal grids when their tables are
+    column-sharded: the slab is computed replicated (density eval goes
+    through the TP field view), then each device overwrites only the
+    columns it owns."""
+    import jax.numpy as jnp
+
+    field_params = {"params": params["field"]}
+    new_params = dict(params)
+    ax = jax.lax.axis_index(axis)
+    for i, pf in enumerate(tp_model.proposal_fields):
+        b0, col = tp_model._proposal_slab(field_params, pf, step)
+        local = params[f"proposal_{i}"]["tables"]  # [32, NB/m]
+        local_nb = local.shape[1]
+        gid = ax * local_nb + jnp.arange(local_nb, dtype=jnp.int32)
+        rel = gid - b0
+        S = col.shape[1]
+        in_slab = (rel >= 0) & (rel < S)
+        upd = col[:, jnp.clip(rel, 0, S - 1)]
+        new_tables = jnp.where(in_slab[None, :], upd, local)
+        new_params[f"proposal_{i}"] = dict(
+            params[f"proposal_{i}"], tables=new_tables
+        )
+    return new_params
 
 
 def make_dp_tp_train_step(trainer: MappingTrainer, mesh: Mesh,
@@ -295,6 +331,21 @@ def make_dp_tp_train_step(trainer: MappingTrainer, mesh: Mesh,
             else:
                 pose_deltas = state.pose_deltas
                 cam_opt_state = state.cam_opt_state
+            mcfg = tp_model.config
+            if (mcfg.proposal_training == "distill"
+                    and tp_model.proposal_fields):
+                # refresh through the TP model view (column-sharded field
+                # tables feed density_unit); proposal tables are themselves
+                # column-sharded, so slice the update to the local shard
+                params = jax.lax.cond(
+                    state.step % mcfg.proposal_refresh_every == 0,
+                    lambda p: _tp_refresh_proposals(
+                        tp_model, p, state.step, mesh.shape[model_axis],
+                        model_axis,
+                    ),
+                    lambda p: p,
+                    params,
+                )
             occ_grid = state.occ_grid
             if occ_grid is not None:
                 # Refresh through the TP model view so density evaluation
