@@ -265,3 +265,186 @@ def frame_distance(poses, disps, intrinsics, ii, jj, beta: float = 0.3):
         jnp.sum(ok, axis=(1, 2)), 1.0
     )
     return beta * mean(full) + (1.0 - beta) * mean(rot)
+
+
+# ---------------------------------------------------------------------------
+# global (terminate-time) bundle adjustment
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("num_iters", "P"))
+def global_dense_ba(
+    poses,
+    disps,
+    intrinsics,
+    host,      # [N] global buffer slot of each row's host frame
+    jj_g,      # [N, ME] global target slots per row (pad -> any, masked)
+    valid,     # [N, ME] bool
+    targets,   # [N, ME, h, w, 2]
+    weights,   # [N, ME, h, w, 2] (>= 0)
+    slot_map,  # [B] window slot or -1 (fixed gauge poses)
+    *,
+    num_iters: int = 2,
+    P: int,
+    lm_lambda: float = 1e-5,
+    ep: float = 1e-2,
+    eta=None,  # [B, h, w] per-pixel depth damping
+    disp_clip: Tuple[float, float] = (1e-3, 10.0),
+):
+    """Terminate-time global BA over ALL keyframes (reference backend /
+    update_lowmem BA, droid_slam.py:554-571,727-768).
+
+    The frontend solver (dense_bundle_adjust) materializes window-row
+    jacobians [E, hw, 2, P*6] — fine for a 48-edge window, ~20 GB at global
+    scale. Here edges are grouped BY HOST FRAME (each row = one host frame's
+    <= ME edges, which also matches the reference's 8-keyframe streaming
+    chunks) and a lax.scan accumulates the reduced camera system:
+
+      * pose blocks land in H [P+1, P+1, 6, 6] via per-edge 6x6 block
+        scatters (the +1 slot swallows fixed/padded poses),
+      * the depth Schur complement uses each frame's COMPACT pose coupling
+        U_i [hw, (ME+1)*6] (only the host + its targets couple to frame i's
+        depths), so the per-frame correction is a tiny matmul scattered
+        into H by slot list,
+      * U, C^-1, w are stacked scan outputs, so depth back-substitution
+        after the global solve needs no second jacobian pass.
+    """
+    B, h, w = disps.shape
+    N, ME = jj_g.shape
+    hw = h * w
+    ys, xs = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32),
+        indexing="ij",
+    )
+    grid = jnp.stack([xs, ys], -1).reshape(hw, 2)
+    tgt = targets.reshape(N, ME, hw, 2)
+    wgt = weights.reshape(N, ME, hw, 2)
+    eta_rows = (
+        eta[host].reshape(N, hw) if eta is not None
+        else jnp.zeros((N, hw))
+    )
+
+    def gn_iteration(carry, _):
+        poses, disps = carry
+
+        def frame_body(Hv, row):
+            H, v, cost = Hv
+            hs, jjr, valr, trow, wrow, eta_r = row
+            g_i = poses[hs]
+            k_i = intrinsics[hs]
+            d = disps[hs].reshape(hw)
+            g_j = poses[jjr]          # [ME, 7]
+            k_j = intrinsics[jjr]
+
+            zeros6 = jnp.zeros((6,))
+
+            def res_fn(xi_i, xi_j, dd, g_j1, k_j1, xy, d0, t):
+                return _edge_residual(
+                    xi_i, xi_j, dd, g_i, g_j1, k_i, k_j1, xy, d0, t
+                )
+
+            jac_pix = jax.vmap(
+                jax.jacfwd(res_fn, argnums=(0, 1, 2), has_aux=True),
+                in_axes=(None, None, 0, None, None, 0, 0, 0),
+            )
+            jac = jax.vmap(jac_pix,
+                           in_axes=(None, None, None, 0, 0, None, None, 0))
+            (J_i, J_j, J_d), z = jac(
+                zeros6, zeros6, jnp.zeros((hw,)), g_j, k_j, grid, d, trow
+            )
+            res_pix = jax.vmap(res_fn,
+                               in_axes=(None, None, 0, None, None, 0, 0, 0))
+            r, _ = jax.vmap(res_pix,
+                            in_axes=(None, None, None, 0, 0, None, None, 0))(
+                zeros6, zeros6, jnp.zeros((hw,)), g_j, k_j, grid, d, trow
+            )
+            # J_i/J_j: [ME, hw, 2, 6]; J_d/r/z: [ME, hw, 2]/[ME, hw]
+
+            ok = (
+                valr[:, None]
+                & (z > 0.1)
+                & jnp.all(jnp.isfinite(r), -1)
+                & (jnp.linalg.norm(r, axis=-1) < 100.0)
+            )
+            wm = wrow * ok[..., None]
+            sw = jnp.sqrt(jnp.maximum(wm, 0.0))
+            Gc = jnp.concatenate(
+                [sw[..., None] * J_i, sw[..., None] * J_j], -1
+            )  # [ME, hw, 2, 12]
+            Gf = Gc.reshape(ME, hw * 2, 12)
+            Bblk = jnp.einsum("mra,mrb->mab", Gf, Gf, precision=_HI)
+            rr = (sw * -r).reshape(ME, hw * 2)
+            vblk = jnp.einsum("mra,mr->ma", Gf, rr, precision=_HI)
+
+            sl_i = slot_map[hs]
+            sl_j = slot_map[jjr]
+            a = jnp.where(sl_i >= 0, sl_i, P)
+            bm = jnp.where((sl_j >= 0) & valr, sl_j, P)
+            H = H.at[a, a].add(jnp.sum(Bblk[:, :6, :6], 0))
+            H = H.at[a, bm].add(Bblk[:, :6, 6:])
+            H = H.at[bm, a].add(Bblk[:, 6:, :6])
+            H = H.at[bm, bm].add(Bblk[:, 6:, 6:])
+            v = v.at[a].add(jnp.sum(vblk[:, :6], 0))
+            v = v.at[bm].add(vblk[:, 6:])
+
+            # depth terms (all of this row's edges share host depth)
+            wJd = wm * J_d
+            C = jnp.sum(wJd * J_d, (0, 2))          # [hw]
+            w_d = jnp.sum(wJd * (-r), (0, 2))
+            swJd = sw * J_d                          # [ME, hw, 2]
+            u_host = jnp.einsum(
+                "mhca,mhc->ha", Gc[..., :6], swJd, precision=_HI
+            )  # [hw, 6]
+            u_tgt = jnp.einsum(
+                "mhca,mhc->mha", Gc[..., 6:], swJd, precision=_HI
+            )  # [ME, hw, 6]
+            Ucomp = jnp.concatenate(
+                [u_host[:, None, :], u_tgt.transpose(1, 0, 2)], 1
+            ).reshape(hw, (ME + 1) * 6)
+
+            damp = lm_lambda * C + 1e-7 + eta_r
+            Cinv = 1.0 / (C + damp)
+            S = jnp.matmul(Ucomp.T, Cinv[:, None] * Ucomp, precision=_HI)
+            rhs_c = jnp.matmul(Ucomp.T, Cinv * w_d, precision=_HI)
+            slots = jnp.concatenate([a[None], bm])  # [ME+1]
+            Sblk = S.reshape(ME + 1, 6, ME + 1, 6).transpose(0, 2, 1, 3)
+            H = H.at[slots[:, None], slots[None, :]].add(-Sblk)
+            v = v.at[slots].add(-rhs_c.reshape(ME + 1, 6))
+            cost = cost + jnp.sum(wm * r * r)
+            return (H, v, cost), (Ucomp, Cinv, w_d, slots)
+
+        H0 = jnp.zeros((P + 1, P + 1, 6, 6))
+        v0 = jnp.zeros((P + 1, 6))
+        (H, v, cost), (U_all, Cinv_all, wd_all, slots_all) = jax.lax.scan(
+            frame_body, (H0, v0, 0.0),
+            (host, jj_g, valid, tgt, wgt, eta_rows),
+        )
+
+        Hm = H[:P, :P].transpose(0, 2, 1, 3).reshape(P * 6, P * 6)
+        vm = v[:P].reshape(P * 6)
+        Hm = Hm + jnp.diag(lm_lambda * jnp.diagonal(Hm) + ep)
+        dx = jnp.linalg.solve(Hm, vm).reshape(P, 6)
+        dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
+
+        # depth back-substitution per host row
+        dx_pad = jnp.concatenate([dx, jnp.zeros((1, 6))])  # trash slot
+        dxr = dx_pad[slots_all].reshape(N, (ME + 1) * 6)
+        dz = Cinv_all * (
+            wd_all - jnp.einsum("nha,na->nh", U_all, dxr, precision=_HI)
+        )
+        touched = jnp.any(valid, 1)
+        dz = jnp.where(touched[:, None] & jnp.isfinite(dz), dz, 0.0)
+        disps = disps.at[host].add(dz.reshape(N, h, w))
+        disps = jnp.clip(disps, disp_clip[0], disp_clip[1])
+
+        xi_full = jnp.where(
+            (slot_map >= 0)[:, None],
+            dx[jnp.clip(slot_map, 0, P - 1)], 0.0,
+        )
+        poses = lie.se3_retract(poses, xi_full)
+        return (poses, disps), cost
+
+    (poses, disps), costs = jax.lax.scan(
+        gn_iteration, (poses, disps), None, length=num_iters
+    )
+    return poses, disps, costs

@@ -113,7 +113,7 @@ class TrackingStage:
             buffer_size=getattr(args, "num_keyframes", 512),
             motion_threshold=getattr(args, "motion_threshold", 2.4),
             keyframe_threshold=getattr(args, "keyframe_threshold", 4.0),
-            frontend_window=getattr(args, "tracking_frontend_window", 16),
+            frontend_window=getattr(args, "tracking_frontend_window", 25),
             max_factors=getattr(args, "tracking_max_edges", 48),
             perform_global_ba=getattr(
                 args, "perform_global_bundle_adjustment", True

@@ -48,14 +48,24 @@ class DroidConfig:
     buffer_size: int = 512
     motion_threshold: float = 2.4  # droid_slam.py:61
     keyframe_threshold: float = 4.0
-    frontend_window: int = 16
+    frontend_window: int = 25  # reference droid_slam.py:69
     frontend_radius: int = 2
     frontend_nms: int = 1  # proximity NMS radius (reference droid nms=1)
     frontend_threshold: float = 16.0  # max flow distance for proximity edges
     max_factors: int = 48
-    update_iters: int = 2
+    # reference iteration schedule (droid_slam.py:80-83): iters1 update
+    # iterations run with every candidate keyframe; iters2 more run only
+    # when the candidate is KEPT (flow distance between the two previous
+    # keyframes >= keyframe_threshold — otherwise the previous keyframe is
+    # removed, reference __update + rm_keyframe, droid_slam.py:271-316,964)
+    iters1: int = 4
+    iters2: int = 2
     ba_iters: int = 2
     backend_radius: int = 2
+    backend_nms: int = 3
+    backend_threshold: float = 22.0
+    backend_steps1: int = 7
+    backend_steps2: int = 12
     perform_global_ba: bool = True
     compute_covariances: bool = True
 
@@ -84,11 +94,12 @@ class DROIDSLAMTracker:
         self.upmask = jnp.zeros((B, self.h, self.w, 576))
         self.depth_cov = jnp.ones((B, self.h, self.w))
 
-        self.n_kf = 0
-        self.tstamps: List[float] = []
-        self.src_index: List[int] = []
+        self.n_kf = 0  # buffer high-water mark (slots ever allocated)
+        self.free_slots: List[int] = []  # slots freed by keyframe removal
+        self.tstamps: Dict[int, float] = {}
+        self.src_index: Dict[int, int] = {}
         self.colors: Dict[int, np.ndarray] = {}
-        self.alive: List[int] = []  # kf ids in the frontend window
+        self.alive: List[int] = []  # kf slot ids in the frontend window
         self.retired: List[int] = []
         self.e_ii = np.full(E, -1, np.int64)
         self.e_jj = np.full(E, -1, np.int64)
@@ -110,8 +121,48 @@ class DROIDSLAMTracker:
                 poses, disps, intr, ii, jj
             )
         )
+        self._backend_flow = jax.jit(
+            self._backend_flow_impl, static_argnames=("n_frames",)
+        )
 
     # ------------------------------------------------------------------
+
+    def _backend_flow_impl(self, params, poses, disps, intrinsics8, fmaps,
+                           inps, hidden, target_prev, ii, jj, ii_local,
+                           valid, fresh, n_frames: int):
+        """Backend GRU flow pass over one host-frame-grouped edge chunk
+        (reference update_lowmem inner loop, droid_slam.py:516-552).
+
+        ii/jj: [CE] global buffer slots; ii_local: [CE] chunk-frame index
+        in [0, n_frames) for the agg head (every edge of a host frame is
+        in the chunk, so the per-frame pooling is complete); fresh: scalar
+        bool — the first backend step zeroes hidden state and targets.
+        """
+        h, w = self.h, self.w
+        f_i = fmaps[ii].astype(jnp.float32)
+        f_j = fmaps[jj].astype(jnp.float32)
+        pyr = build_corr_pyramid(f_i, f_j, num_levels=4)
+        coords, z = dense_ba.dense_reproject(poses, disps, intrinsics8, ii, jj)
+        corr = corr_lookup(pyr, coords, radius=3)
+        ys, xs = jnp.meshgrid(
+            jnp.arange(h, dtype=jnp.float32),
+            jnp.arange(w, dtype=jnp.float32), indexing="ij",
+        )
+        grid = jnp.stack([xs, ys], -1)[None]
+        tgt_prev = jnp.where(fresh, coords, target_prev)
+        flow = jnp.clip(
+            jnp.concatenate([coords - grid, tgt_prev - coords], -1),
+            -64.0, 64.0,
+        )
+        net = jnp.where(fresh, 0.0, hidden.astype(jnp.float32))
+        inp = inps[ii].astype(jnp.float32)
+        net, delta, weight, eta, upmask = self.net.apply(
+            params, net, inp, corr, flow, ii_local, n_frames,
+            method=self.net.update_step,
+        )
+        target = coords + delta
+        weight = weight * valid[:, None, None, None]
+        return net, target, weight, eta, upmask
 
     def _encode_impl(self, params, image):
         # ImageNet normalization, matching the reference's
@@ -165,9 +216,14 @@ class DROIDSLAMTracker:
             jnp.arange(w, dtype=jnp.float32), indexing="ij",
         )
         grid = jnp.stack([xs, ys], -1)[None]
+        # reference motion features (droid_slam.py:355-358):
+        # cat(coords - grid, previous_flow_estimate - coords), clamped
         tgt_prev = jnp.where(e_new[:, None, None, None], coords, e_target)
-        flow = jnp.concatenate(
-            [coords - grid, jax.lax.stop_gradient(coords - tgt_prev)], -1
+        flow = jnp.clip(
+            jnp.concatenate(
+                [coords - grid, jax.lax.stop_gradient(tgt_prev - coords)], -1
+            ),
+            -64.0, 64.0,
         )
         net = jnp.where(e_new[:, None, None, None], 0.0, hidden)
         inp = inps[ii].astype(jnp.float32)
@@ -211,8 +267,11 @@ class DROIDSLAMTracker:
             if motion < cfg.motion_threshold:
                 return []
 
-        kf = self.n_kf
-        self.n_kf += 1
+        if self.free_slots:
+            kf = self.free_slots.pop()
+        else:
+            kf = self.n_kf
+            self.n_kf += 1
         assert kf < cfg.buffer_size, "keyframe buffer exhausted"
         kf_d = jnp.asarray(kf, jnp.int32)
         self.fmaps = self.fmaps.at[kf_d].set(fmap)
@@ -234,17 +293,46 @@ class DROIDSLAMTracker:
                 self.poses[jnp.asarray(self.alive[-1], jnp.int32)]
             )
 
-        self.tstamps.append(tstamp)
-        self.src_index.append(frame_index if frame_index is not None else kf)
+        self.tstamps[kf] = tstamp
+        self.src_index[kf] = frame_index if frame_index is not None else kf
         self.colors[kf] = np.asarray(image, np.uint8)
         self.alive.append(kf)
         self._rebuild_edges()
 
         if len(self.alive) >= 4:
-            for _ in range(cfg.update_iters):
+            for _ in range(cfg.iters1):
                 self._run_update()
+            # reference keyframe policy (__update, droid_slam.py:298-316):
+            # test the flow distance between the two keyframes BEFORE the
+            # candidate; if they became redundant under the refined
+            # geometry, drop the previous keyframe (the candidate stays),
+            # else run iters2 more refinement iterations.
+            if len(self.alive) >= 3:
+                a, b = self.alive[-3], self.alive[-2]
+                d = np.asarray(self._pair_distance(
+                    self.poses, self.disps, self.intrinsics8,
+                    jnp.asarray([a, b], jnp.int32),
+                    jnp.asarray([b, a], jnp.int32),
+                ))
+                if 0.5 * float(d[0] + d[1]) < cfg.keyframe_threshold:
+                    self.remove_keyframe(b)
+                else:
+                    for _ in range(cfg.iters2):
+                        self._run_update()
 
         return self._retire()
+
+    def remove_keyframe(self, g: int) -> None:
+        """Drop a redundant keyframe (reference rm_keyframe,
+        droid_slam.py:964-995): the slot returns to the free pool (the
+        reference instead shifts its dense buffers down — same effect),
+        its edges are dropped, and it never reaches the mapping packet."""
+        self.alive.remove(g)
+        self.free_slots.append(g)
+        self.colors.pop(g, None)
+        self.tstamps.pop(g, None)
+        self.src_index.pop(g, None)
+        self._rebuild_edges()
 
     # ------------------------------------------------------------------
 
@@ -378,45 +466,172 @@ class DROIDSLAMTracker:
         return retired
 
     def flush(self) -> List[int]:
-        if self.cfg.perform_global_ba and self.n_kf >= 4:
-            self.global_bundle_adjustment()
+        if self.cfg.perform_global_ba and len(self.retired + self.alive) >= 8:
+            # reference terminate schedule: two full global BA passes
+            # (droid_slam.py:318-338 — backend(7) then backend(12))
+            self.backend(self.cfg.backend_steps1)
+            self.backend(self.cfg.backend_steps2)
         out = list(self.alive)
         self.retired.extend(out)
         self.alive = []
         return out
 
+    # Back-compat alias used by older call sites/tests.
     def global_bundle_adjustment(self, iters: int = 4) -> None:
-        """Global BA over all keyframes with neighborhood edges, chunked to
-        the factor budget (reference backend/update_lowmem,
-        droid_slam.py:494-571,727-768)."""
+        self.backend(iters)
+
+    def _backend_edges(self):
+        """Proximity edge selection over ALL keyframes (reference
+        add_proximity_factors at backend parameters, droid_slam.py:727-768,
+        1010-1073): forced radius-2 neighbors + greedy NMS selection of
+        flow-close pairs, capped at 16 edges per keyframe on average."""
         cfg = self.cfg
-        all_kf = list(range(self.n_kf))
-        pairs = [
-            (a, b)
-            for a in all_kf
-            for b in all_kf
-            if a != b and abs(a - b) <= cfg.backend_radius
+        order = self.retired + self.alive  # time order
+        Nk = len(order)
+        pairs = []
+        chosen = set()
+        for a in range(Nk):
+            for b in range(Nk):
+                if a != b and abs(a - b) <= cfg.backend_radius:
+                    pairs.append((a, b))
+                    chosen.add((a, b))
+        # pairwise flow distances (chunked static-shape device calls)
+        cand = [
+            (a, b) for a in range(Nk) for b in range(Nk)
+            if a != b and (a, b) not in chosen
         ]
-        sm = np.full(cfg.buffer_size, -1, np.int32)
-        # optimize the most recent window-sized set each chunk pass; older
-        # poses refine through overlapping chunks
-        for start in range(0, len(pairs), cfg.max_factors):
-            chunk = pairs[start: start + cfg.max_factors]
-            self.e_ii[:] = -1
-            self.e_jj[:] = -1
-            self.e_valid[:] = False
-            for s, (a, b) in enumerate(chunk):
-                self.e_ii[s] = a
-                self.e_jj[s] = b
-            self.e_valid[: len(chunk)] = True
-            self.e_fresh[:] = True
-            frames = sorted({a for a, _ in chunk} | {b for _, b in chunk})
-            sm[:] = -1
-            for s, g in enumerate([f for f in frames if f > 1]
-                                  [: cfg.frontend_window]):
-                sm[g] = s
-            self._run_update(slot_override=sm)
-        self._rebuild_edges()
+        dists = np.full(len(cand), np.inf, np.float32)
+        CH = 1024
+        for start in range(0, len(cand), CH):
+            cc = cand[start: start + CH]
+            ii = np.zeros(CH, np.int32)
+            jj = np.zeros(CH, np.int32)
+            for s, (a, b) in enumerate(cc):
+                ii[s] = order[a]
+                jj[s] = order[b]
+            d = np.asarray(self._pair_distance(
+                self.poses, self.disps, self.intrinsics8,
+                jnp.asarray(ii), jnp.asarray(jj),
+            ))
+            dists[start: start + len(cc)] = d[: len(cc)]
+        budget = 16 * Nk - len(pairs)
+        suppressed = set()
+        for k in np.argsort(dists):
+            if budget <= 0 or dists[k] > cfg.backend_threshold:
+                break
+            a, b = cand[k]
+            if (a, b) in suppressed:
+                continue
+            pairs.append((a, b))
+            budget -= 1
+            r = cfg.backend_nms
+            for di in range(-r, r + 1):
+                for dj in range(-r, r + 1):
+                    suppressed.add((a + di, b + dj))
+        return order, pairs
+
+    def backend(self, steps: int) -> None:
+        """One global BA pass over all keyframes (reference backend +
+        update_lowmem, droid_slam.py:494-571,727-768): fresh proximity
+        edges, then `steps` iterations of [host-frame-chunked GRU flow
+        updates -> one global dense BA over every edge]. Edge state
+        (hidden, flow target, weight) persists across the pass exactly as
+        the reference's streaming buffers do."""
+        cfg = self.cfg
+        order, pairs = self._backend_edges()
+        Nk = len(order)
+        if Nk < 4 or not pairs:
+            return
+        h, w = self.h, self.w
+
+        # group edges by host-frame position; bucket ME to a power of two
+        per_host: Dict[int, List[int]] = {a: [] for a in range(Nk)}
+        for a, b in pairs:
+            per_host[a].append(b)
+        me = max(len(v) for v in per_host.values())
+        ME = 1
+        while ME < me:
+            ME *= 2
+        jj_g = np.zeros((Nk, ME), np.int32)
+        valid = np.zeros((Nk, ME), bool)
+        for a, bs in per_host.items():
+            for m, b in enumerate(bs):
+                jj_g[a, m] = order[b]
+                valid[a, m] = True
+        host = np.asarray([order[a] for a in range(Nk)], np.int32)
+
+        # per-edge state rows (reference gru_* buffers, fp16 there)
+        hidden = jnp.zeros((Nk, ME, h, w, self.net.cdim), jnp.bfloat16)
+        target = jnp.zeros((Nk, ME, h, w, 2))
+        weight = jnp.zeros((Nk, ME, h, w, 2))
+
+        # fix the first two keyframes: SE3 gauge + monocular scale (the
+        # reference instead priors pose 0 and lets scale ride the damping)
+        slot_map = np.full(cfg.buffer_size, -1, np.int32)
+        for p, g in enumerate(order[2:]):
+            slot_map[g] = p
+        P = max(Nk - 2, 1)
+        slot_map_d = jnp.asarray(slot_map)
+
+        CF = min(4, Nk)  # host frames per GRU chunk (reference streams 8)
+        for step in range(steps):
+            for f0 in range(0, Nk, CF):
+                rows = list(range(f0, min(f0 + CF, Nk)))
+                rows = rows + [rows[-1]] * (CF - len(rows))  # pad rows
+                r_idx = jnp.asarray(rows)
+                ii_rep = jnp.repeat(jnp.asarray(host[rows]), ME)
+                jj_c = jnp.asarray(jj_g[rows].reshape(-1))
+                val_c = jnp.asarray(valid[rows].reshape(-1))
+                # padded duplicate rows must not double-write: only the
+                # first occurrence of each row is scattered back
+                first = np.zeros(CF, bool)
+                seen = set()
+                for q, rr in enumerate(rows):
+                    if rr not in seen:
+                        first[q] = True
+                        seen.add(rr)
+                ii_loc = jnp.repeat(jnp.arange(CF), ME)
+                net_c, tgt_c, wgt_c, eta_c, up_c = self._backend_flow(
+                    self.params, self.poses, self.disps, self.intrinsics8,
+                    self.fmaps, self.inps,
+                    hidden[r_idx].reshape(CF * ME, h, w, -1),
+                    target[r_idx].reshape(CF * ME, h, w, 2),
+                    ii_rep, jj_c, ii_loc, val_c,
+                    jnp.asarray(step == 0), n_frames=CF,
+                )
+                keep = jnp.asarray(first)
+                sel = r_idx
+                hidden = hidden.at[sel].set(
+                    jnp.where(
+                        keep[:, None, None, None, None],
+                        net_c.reshape(CF, ME, h, w, -1).astype(jnp.bfloat16),
+                        hidden[sel],
+                    )
+                )
+                target = target.at[sel].set(
+                    jnp.where(keep[:, None, None, None, None],
+                              tgt_c.reshape(CF, ME, h, w, 2), target[sel])
+                )
+                weight = weight.at[sel].set(
+                    jnp.where(keep[:, None, None, None, None],
+                              wgt_c.reshape(CF, ME, h, w, 2), weight[sel])
+                )
+                self.eta = self.eta.at[jnp.asarray(host[rows])].set(
+                    jnp.where(keep[:, None, None], eta_c, self.eta[jnp.asarray(host[rows])])
+                )
+                self.upmask = self.upmask.at[jnp.asarray(host[rows])].set(
+                    jnp.where(keep[:, None, None, None], up_c,
+                              self.upmask[jnp.asarray(host[rows])])
+                )
+            self.poses, self.disps, costs = dense_ba.global_dense_ba(
+                self.poses, self.disps, self.intrinsics8,
+                jnp.asarray(host), jnp.asarray(jj_g), jnp.asarray(valid),
+                target, weight, slot_map_d,
+                num_iters=cfg.ba_iters, P=P,
+                eta=0.2 * self.eta + 1e-7,
+            )
+        if self.alive:
+            self._rebuild_edges()
 
     # ------------------------------------------------------------------
 

@@ -115,3 +115,57 @@ def test_corr_pyramid_and_lookup(rng):
     interior = win0[:, 3:-3, 3:-3]
     center = interior[..., 2, 2]
     assert (center >= interior.reshape(*interior.shape[:3], -1).max(-1) - 1e-4).all()
+
+
+def test_global_dense_ba_converges(rng):
+    """The terminate-time solver (host-frame-grouped scan assembly) must
+    recover the same geometry as the frontend solver: oracle flow targets,
+    perturbed poses/depths, all-keyframe window."""
+    n = 6
+    poses_true, disps_true, intr, ii, jj = _scene(rng, n=n)
+    targets, _ = dense_ba.dense_reproject(poses_true, disps_true, intr, ii, jj)
+    weights = jnp.ones(targets.shape)
+
+    # group edges by host frame, pad rows to ME
+    ME = 4
+    host = jnp.arange(n, dtype=jnp.int32)
+    jj_g = np.zeros((n, ME), np.int32)
+    valid = np.zeros((n, ME), bool)
+    tgt = np.zeros((n, ME, H, W, 2), np.float32)
+    wgt = np.zeros((n, ME, H, W, 2), np.float32)
+    counts = np.zeros(n, np.int32)
+    for e in range(ii.shape[0]):
+        a, b = int(ii[e]), int(jj[e])
+        m = counts[a]
+        assert m < ME
+        jj_g[a, m] = b
+        valid[a, m] = True
+        tgt[a, m] = np.asarray(targets[e])
+        wgt[a, m] = np.asarray(weights[e])
+        counts[a] += 1
+
+    noise = jnp.asarray(
+        np.concatenate([np.zeros((2, 6)),
+                        rng.normal(size=(n - 2, 6)) * 0.02], 0),
+        jnp.float32,
+    )
+    poses0 = lie.se3_retract(poses_true, noise)
+    disps0 = disps_true * jnp.asarray(
+        1.0 + 0.05 * rng.normal(size=disps_true.shape), jnp.float32
+    )
+    # fix the first two poses (SE3 gauge + monocular scale), like the
+    # frontend test — with only one fixed, global scale drifts freely
+    P = n - 2
+    slot_map = jnp.where(jnp.arange(n) >= 2, jnp.arange(n) - 2, -1).astype(
+        jnp.int32
+    )
+    poses, disps, costs = dense_ba.global_dense_ba(
+        poses0, disps0, intr, host, jnp.asarray(jj_g), jnp.asarray(valid),
+        jnp.asarray(tgt), jnp.asarray(wgt), slot_map,
+        num_iters=8, P=P, ep=1e-4,
+    )
+    assert float(costs[-1]) < float(costs[0]) * 1e-2, costs
+    err = np.asarray(lie.se3_log(lie.se3_mul(poses, lie.se3_inv(poses_true))))
+    assert np.abs(err).max() < 5e-3, np.abs(err).max()
+    rel = np.abs(np.asarray(disps - disps_true) / np.asarray(disps_true))
+    assert np.median(rel) < 1e-2

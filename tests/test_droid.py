@@ -14,8 +14,12 @@ TINY = DroidConfig(
     frontend_window=5,
     frontend_radius=2,
     max_factors=24,
-    update_iters=1,
+    iters1=1,
+    iters2=1,
     ba_iters=1,
+    backend_steps1=1,
+    backend_steps2=1,
+    keyframe_threshold=0.0,  # never remove (removal has its own test)
     perform_global_ba=True,
     compute_covariances=True,
 )
@@ -75,3 +79,31 @@ def test_droid_motion_filter(droid_net, rng):
         tr.track(i * 0.1, _frame(rng, i), INTR)
     # huge threshold: only the very first frame becomes a keyframe
     assert tr.n_kf == 1
+
+
+def test_droid_keyframe_removal(droid_net, rng):
+    """A huge keyframe_threshold makes every pair look redundant: each new
+    candidate evicts the previous keyframe (reference __update -> False ->
+    rm_keyframe, droid_slam.py:298-316,964), the freed slot is reused, and
+    removed keyframes never appear in packets or the trajectory."""
+    import dataclasses
+
+    net, params = droid_net
+    cfg = dataclasses.replace(TINY, keyframe_threshold=1e6,
+                              perform_global_ba=False)
+    tr = DROIDSLAMTracker(cfg, net, params, H, W)
+    n = 8
+    for i in range(n):
+        tr.track(i * 0.1, _frame(rng, i), INTR, frame_index=i)
+    # first 3 keyframes bootstrap before the policy engages (needs >= 4
+    # alive); every later candidate evicts its predecessor
+    assert len(tr.free_slots) > 0
+    kept = tr.retired + tr.alive
+    assert len(kept) < n
+    # slot reuse: the high-water mark stays below the frame count
+    assert tr.n_kf < n
+    # bookkeeping stays consistent for survivors only
+    for g in kept:
+        assert g in tr.src_index and g in tr.tstamps
+    rest = tr.flush()
+    assert len(tr.trajectory()) == len(kept)
