@@ -24,13 +24,19 @@ from nerf_vo_tpu.models.dpt import DPTHybrid
 class OmnidataEstimator:
     def __init__(self, depth_params=None, normal_params=None,
                  use_normals: bool = True, image_size: int = 384,
-                 seed: int = 0):
+                 seed: int = 0, depth_layers: int = 12):
         import os
 
         self.image_size = image_size
         self.use_normals = use_normals
-        self.depth_model = DPTHybrid(num_channels=1, image_size=image_size)
-        self.normal_model = DPTHybrid(num_channels=3, image_size=image_size)
+        hooks = (
+            (8, 11) if depth_layers == 12
+            else (max(depth_layers - 2, 0), depth_layers - 1)
+        )
+        self.depth_model = DPTHybrid(num_channels=1, image_size=image_size,
+                                     depth_layers=depth_layers, hooks=hooks)
+        self.normal_model = DPTHybrid(num_channels=3, image_size=image_size,
+                                      depth_layers=depth_layers, hooks=hooks)
         if depth_params is None:
             ckpt = os.environ.get("NERF_VO_OMNIDATA_DEPTH_WEIGHTS")
             if ckpt:

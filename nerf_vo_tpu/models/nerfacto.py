@@ -56,12 +56,15 @@ class NerfactoConfig:
     is_euclidean_depth: bool = False
     max_res: int = 2048
     log2_hashmap_size: int = 19
-    # field grid geometry: 8 levels x 4 features (vs tiny-cuda-nn's 16 x 2;
-    # same total capacity). On TPU the encode cost is per gather DESCRIPTOR
-    # (~4-5 ns each, scripts/exp_gather.py), one per sample-level — halving
-    # levels while doubling the brick payload is ~1.6x on encode fwd+bwd.
-    num_grid_levels: int = 8
-    grid_features_per_level: int = 4
+    # field grid geometry: 4 levels x 8 features (vs tiny-cuda-nn's 16 x 2;
+    # same total feature dim and table bytes). On TPU the encode cost is
+    # per gather DESCRIPTOR (~4-5 ns each, scripts/exp_gather.py), one per
+    # sample-level — fewer levels with fatter brick payloads win outright:
+    # measured 67 -> 41 ms/step over 8x4 AND +2.2 dB on the synthetic
+    # posed-keyframe fit (scripts/exp_distill.py; the 4x capacity per
+    # level cuts hash collisions at the mid resolutions).
+    num_grid_levels: int = 4
+    grid_features_per_level: int = 8
     # proposal fields: "dense" = single-level dense voxel density bricks
     # (1 descriptor/sample, no MLP — DenseProposalField); "hash" = 5-level
     # hash grid + MLP mirroring nerfstudio's HashMLPDensityField.

@@ -91,26 +91,37 @@ def sample_pdf(key, s_edges, weights, n_samples: int, stratified: bool = True,
     else:
         u = jnp.broadcast_to(jnp.linspace(0.0, 1.0, n_samples + 1), (R, n_samples + 1))
 
-    # Inverse CDF via masked min/max reductions instead of searchsorted:
-    # vmapped binary search lowers to serial dynamic gathers on TPU
-    # (measured ~40 ms/batch); cdf and s_edges are both monotone, so
-    # "the last edge with cdf <= u" is a masked MAX and "the first edge
-    # with cdf > u" a masked MIN — pure fused VPU work. Layout is
-    # ray-minor ([B+1, n+1, R]) so lane tiling pads nothing.
-    cdf_t = cdf.T  # [B+1, R]
-    s_t = s_edges.T
-    u_t = u.T  # [n+1, R]
-    mask = cdf_t[:, None, :] <= u_t[None, :, :]  # [B+1, n+1, R]
-    cdf_below = jnp.max(jnp.where(mask, cdf_t[:, None, :], 0.0), axis=0)
-    s_below = jnp.max(jnp.where(mask, s_t[:, None, :], 0.0), axis=0)
-    cdf_above = jnp.min(jnp.where(mask, cdf_t[-1:, None, :], cdf_t[:, None, :]),
-                        axis=0)
-    s_above = jnp.min(jnp.where(mask, s_t[-1:, None, :], s_t[:, None, :]),
-                      axis=0)
+    # Inverse CDF via one-hot contractions instead of searchsorted: with a
+    # monotone CDF the indicator ind[b] = 1[cdf[b] <= u] is nonincreasing
+    # in b, so its difference d1[b] = ind[b] - ind[b+1] one-hots "the last
+    # edge with cdf <= u" and d0[b] = ind[b-1] - ind[b] (+ terminal fixup)
+    # one-hots "the first edge with cdf > u". The four lookups become
+    # [R]-batched matvecs on shared indicators — no max/argmax chains, no
+    # serial dynamic gathers (the vmapped-searchsorted formulation those
+    # replaced measured ~40 ms/batch).
+    ind = (cdf[:, :, None] <= u[:, None, :]).astype(cdf.dtype)  # [R,B+1,n+1]
+    d1 = ind - jnp.concatenate(
+        [ind[:, 1:], jnp.zeros_like(ind[:, :1])], axis=1
+    )
+    d0 = jnp.concatenate(
+        [jnp.ones_like(ind[:, :1]), ind[:, :-1]], axis=1
+    ) - ind
+    # u >= cdf[-1] (== 1): "above" degenerates — route it to the last edge
+    d0 = d0.at[:, -1].add(ind[:, -1])
+
+    def pick(vals, d):
+        return jax.lax.dot_general(
+            vals[:, None, :], d, (((2,), (1,)), ((0,), (0,))),
+        )[:, 0, :]
+
+    cdf_below = pick(cdf, d1)
+    s_below = pick(s_edges, d1)
+    cdf_above = pick(cdf, d0)
+    s_above = pick(s_edges, d0)
 
     denom = jnp.clip(cdf_above - cdf_below, 1e-8)
-    frac = jnp.clip((u_t - cdf_below) / denom, 0.0, 1.0)
-    new_edges = (s_below + frac * (s_above - s_below)).T
+    frac = jnp.clip((u - cdf_below) / denom, 0.0, 1.0)
+    new_edges = s_below + frac * (s_above - s_below)
     # monotone by construction: u sorted, CDF inverse monotone, clamps
     # stay within each (ordered) source interval
     return jax.lax.stop_gradient(new_edges)

@@ -55,6 +55,13 @@ def execute(args) -> MappingStage:
         _threaded_frames(data) if multithreading else _serial_frames(data)
     )
 
+    # Online mapping rate: up to this many train steps are dispatched per
+    # input frame (the reference's per-packet budget of
+    # mapping_iterations/num_keyframes still caps the total between
+    # packets — can_train enforces it). JAX async dispatch queues the
+    # steps behind tracking's device work without blocking the host.
+    steps_per_frame = int(getattr(args, "mapping_steps_per_frame", 4))
+
     done = False
     while not done:
         with perf.track("data"):
@@ -70,12 +77,12 @@ def execute(args) -> MappingStage:
                 enhanced = enhancement.step(packet)
             with perf.track("mapping"):
                 mapping.update(enhanced)
-                mapping.train_step()
             if enhanced is not None and enhanced.get("last_frame"):
                 done = True
-        else:
-            with perf.track("mapping"):
-                mapping.train_step()
+        with perf.track("mapping"):
+            for _ in range(steps_per_frame):
+                if mapping.train_step() is None:
+                    break
 
     with perf.track("mapping"):
         mapping.finish()

@@ -200,6 +200,10 @@ class EnhancementStage:
             OmnidataEstimator(
                 use_normals="normal" in self.mode,
                 image_size=getattr(args, "enhancement_image_size", 384),
+                # test-size hook: shrink the ViT trunk so CPU e2e runs
+                # exercise the plumbing without the full 12-block DPT
+                # (the converter round-trip tests cover the real arch)
+                depth_layers=getattr(args, "enhancement_dpt_layers", 12),
             )
             if self.mode != "none"
             else None
@@ -372,15 +376,18 @@ class MappingStage:
     def can_train(self) -> bool:
         if self.step_count >= self.mapping_iterations:
             return False
+        if self.num_inserted == 0:
+            return False
         if not self.stream_active:
             return True
-        # pacing rule (reference mapping_module.py:36-47)
+        # pacing rule (reference mapping_module.py:36-47): at most
+        # mapping_iterations/num_keyframes consecutive train steps between
+        # keyframe packets (the counter resets on every insert)
         budget = self.mapping_iterations / max(self.num_keyframes, 1)
         return self.last_received < budget
 
     def train_step(self) -> Optional[Dict[str, float]]:
-        if self.num_inserted == 0 or not self.can_train():
-            self.last_received += 1
+        if not self.can_train():
             return None
         self._key, sub = jax.random.split(self._key)
         self.state, metrics = self.trainer.train_step(

@@ -60,8 +60,8 @@ def make_scene(rng, K, H, W):
     return kb.insert(buf, jnp.arange(K), packet)
 
 
-def run(mode, buf, K, steps=400):
-    cfg = NerfactoConfig(num_images=K, proposal_training=mode)
+def run(mode, buf, K, steps=400, **over):
+    cfg = NerfactoConfig(num_images=K, proposal_training=mode, **over)
     trainer = MappingTrainer(
         NerfactoModel(cfg),
         TrainerConfig(rays_per_batch=4096, max_iterations=steps),
@@ -87,9 +87,12 @@ def main():
     K, H, W = 32, 120, 160
     rng = np.random.default_rng(0)
     buf = make_scene(rng, K, H, W)
-    p_int = run("interlevel", buf, K)
     p_dis = run("distill", buf, K)
-    print(f"delta: {p_dis - p_int:+.2f} dB (distill - interlevel)")
+    p_48 = run("distill", buf, K, num_grid_levels=4,
+               grid_features_per_level=8)
+    p_int = run("interlevel", buf, K)
+    print(f"4x8 - 8x4 delta: {p_48 - p_dis:+.2f} dB")
+    print(f"distill - interlevel delta: {p_dis - p_int:+.2f} dB")
 
 
 if __name__ == "__main__":

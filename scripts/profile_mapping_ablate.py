@@ -100,8 +100,18 @@ def main():
         tc, buf, K,
     )
     time_variant(
-        "hash proposals (old)",
-        dataclasses.replace(base, proposal_type="hash"), tc, buf, K,
+        "interlevel proposals (nerfacto semantics)",
+        dataclasses.replace(base, proposal_training="interlevel"), tc, buf, K,
+    )
+    time_variant(
+        "no depth loss",
+        dataclasses.replace(base, depth_loss_mult=0.0), tc, buf, K,
+    )
+    time_variant(
+        "field 4x8 (fewer levels)",
+        dataclasses.replace(base, num_grid_levels=4,
+                            grid_features_per_level=8),
+        tc, buf, K,
     )
     time_variant(
         "24 nerf samples",

@@ -13,6 +13,8 @@ import cv2
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full pipeline; busts the 1-core CPU fast tier
+
 H, W = 48, 64
 FX = 50.0
 INTR = dict(h=H, w=W, fx=FX, fy=FX, cx=W / 2, cy=H / 2, depth_scale=6553.5)
@@ -119,6 +121,7 @@ def _args(scene_root, tmp_path):
         mapping_snapshot_iterations=48,
         rays_per_batch=128,
         enhancement_image_size=96,
+        enhancement_dpt_layers=2,
         tracking_init_frames=4,
         tracking_max_edges=512,
         tracking_ring_size=8,

@@ -8,6 +8,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full pipeline; busts the 1-core CPU fast tier
+
 from tests.test_e2e import H, W, scene_root  # noqa: F401 (fixture reuse)
 
 

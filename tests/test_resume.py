@@ -2,6 +2,9 @@
 """Full-train-state snapshot/restore roundtrip."""
 
 import argparse
+import pytest
+
+pytestmark = pytest.mark.slow  # full snapshot/restore fit; compile-heavy
 
 import jax
 import jax.numpy as jnp

@@ -89,6 +89,7 @@ def test_tracker_mechanics(tracker_net, rng):
     assert len(tr.trajectory()) == n_frames
 
 
+@pytest.mark.slow
 def test_tracker_keyframe_removal(tracker_net, rng):
     net, params = tracker_net
     import dataclasses
@@ -105,6 +106,7 @@ def test_tracker_keyframe_removal(tracker_net, rng):
     assert 1 in tr.frame_gids or 1 in tr.retired
 
 
+@pytest.mark.slow
 def test_edge_budget_respected(tracker_net, rng):
     net, params = tracker_net
     tr = DPVOTracker(TINY, net, params, H, W)
