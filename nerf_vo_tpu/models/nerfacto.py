@@ -56,14 +56,17 @@ class NerfactoConfig:
     is_euclidean_depth: bool = False
     max_res: int = 2048
     log2_hashmap_size: int = 19
-    # field grid geometry: 4 levels x 8 features (vs tiny-cuda-nn's 16 x 2;
-    # same total feature dim and table bytes). On TPU the encode cost is
-    # per gather DESCRIPTOR (~4-5 ns each, scripts/exp_gather.py), one per
-    # sample-level — fewer levels with fatter brick payloads win outright:
-    # measured 67 -> 41 ms/step over 8x4 AND +2.2 dB on the synthetic
-    # posed-keyframe fit (scripts/exp_distill.py; the 4x capacity per
-    # level cuts hash collisions at the mid resolutions).
-    num_grid_levels: int = 4
+    # field grid geometry: 3 levels x 8 features (vs tiny-cuda-nn's 16 x 2).
+    # On TPU the encode cost is per gather DESCRIPTOR (~4-5 ns fwd, ~17-26 ns
+    # bwd scatter, scripts/exp_gather.py / exp_scatter2.py), one per
+    # sample-level — fewer levels with fatter brick payloads win outright.
+    # Geometry sweep on the synthetic posed-keyframe fit
+    # (scripts/exp_distill.py, 400 steps): 3x8 = 32.2 dB, 4x8 = 28.8,
+    # 3x12 = 29.9, 2x16 = 26.4, 8x4 = 26.6 — 3x8 is BOTH the fastest
+    # trainable geometry (one level rides the one-hot MXU path, only two
+    # levels pay the backward scatter) and the best-fitting one (more
+    # entries per level cut hash collisions at the resolutions that matter).
+    num_grid_levels: int = 3
     grid_features_per_level: int = 8
     # proposal fields: "dense" = single-level dense voxel density bricks
     # (1 descriptor/sample, no MLP — DenseProposalField); "hash" = 5-level

@@ -95,29 +95,34 @@ def sample_pdf(key, s_edges, weights, n_samples: int, stratified: bool = True,
     # monotone CDF the indicator ind[b] = 1[cdf[b] <= u] is nonincreasing
     # in b, so its difference d1[b] = ind[b] - ind[b+1] one-hots "the last
     # edge with cdf <= u" and d0[b] = ind[b-1] - ind[b] (+ terminal fixup)
-    # one-hots "the first edge with cdf > u". The four lookups become
-    # [R]-batched matvecs on shared indicators — no max/argmax chains, no
+    # one-hots "the first edge with cdf > u" — no max/argmax chains, no
     # serial dynamic gathers (the vmapped-searchsorted formulation those
-    # replaced measured ~40 ms/batch).
+    # replaced measured ~40 ms/batch). Telescoping the differences onto the
+    # VALUES (pick(vals, d1) == Δ1vals·ind, pick(vals, d0) == vals[0] +
+    # Δ0vals·ind) lets all four lookups ride ONE batched dot_general against
+    # the shared [R, B+1, n+1] indicator, so d1/d0 are never materialized —
+    # the sampler's HBM traffic is one indicator write + one read.
     ind = (cdf[:, :, None] <= u[:, None, :]).astype(cdf.dtype)  # [R,B+1,n+1]
-    d1 = ind - jnp.concatenate(
-        [ind[:, 1:], jnp.zeros_like(ind[:, :1])], axis=1
-    )
-    d0 = jnp.concatenate(
-        [jnp.ones_like(ind[:, :1]), ind[:, :-1]], axis=1
-    ) - ind
-    # u >= cdf[-1] (== 1): "above" degenerates — route it to the last edge
-    d0 = d0.at[:, -1].add(ind[:, -1])
-
-    def pick(vals, d):
-        return jax.lax.dot_general(
-            vals[:, None, :], d, (((2,), (1,)), ((0,), (0,))),
-        )[:, 0, :]
-
-    cdf_below = pick(cdf, d1)
-    s_below = pick(s_edges, d1)
-    cdf_above = pick(cdf, d0)
-    s_above = pick(s_edges, d0)
+    z = jnp.zeros_like(cdf[:, :1])
+    V = jnp.stack(
+        [
+            jnp.diff(cdf, axis=1, prepend=0.0),      # Δ1cdf (cdf[-1] := 0)
+            jnp.diff(s_edges, axis=1, prepend=0.0),  # Δ1s  (s[-1] := 0)
+            jnp.concatenate([jnp.diff(cdf, axis=1), z], axis=1),      # Δ0cdf
+            jnp.concatenate([jnp.diff(s_edges, axis=1), z], axis=1),  # Δ0s
+        ],
+        axis=1,
+    )  # [R, 4, B+1]
+    picks = jax.lax.dot_general(
+        V, ind, (((2,), (1,)), ((0,), (0,)))
+    )  # [R, 4, n+1]
+    cdf_below = picks[:, 0]
+    s_below = picks[:, 1]
+    # the Δ0 rows zero their last entry, which folds the u >= cdf[-1]
+    # terminal fixup (route "above" to the last edge) in exactly; the
+    # leading constant is vals[0] (cdf[0] == 0 needs none)
+    cdf_above = picks[:, 2]
+    s_above = picks[:, 3] + s_edges[:, :1]
 
     denom = jnp.clip(cdf_above - cdf_below, 1e-8)
     frac = jnp.clip((u - cdf_below) / denom, 0.0, 1.0)
