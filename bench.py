@@ -61,7 +61,8 @@ def main():
         key, sub = jax.random.split(key)
         t0 = time.perf_counter()
         state, metrics = trainer.train_step(state, buf, sub)
-        float(jnp.sum(metrics["loss"]))
+        loss = float(jnp.sum(metrics["loss"]))
+        assert np.isfinite(loss), f"non-finite loss at warmup step {i}: {loss}"
         dt = time.perf_counter() - t0
         if i >= 5 and dt < 0.1 and t_last < 0.1:
             break
@@ -77,7 +78,8 @@ def main():
             key, sub = jax.random.split(key)
             state, metrics = trainer.train_step(state, buf, sub)
         jax.block_until_ready(metrics)
-        float(jnp.sum(metrics["loss"]))  # force full drain
+        loss = float(jnp.sum(metrics["loss"]))  # force full drain
+        assert np.isfinite(loss), f"non-finite loss in timing window: {loss}"
         dt = time.perf_counter() - t0
         best = max(best, rays * n_steps / dt)
     rays_per_sec = best

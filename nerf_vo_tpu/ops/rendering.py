@@ -113,8 +113,15 @@ def sample_pdf(key, s_edges, weights, n_samples: int, stratified: bool = True,
         ],
         axis=1,
     )  # [R, 4, B+1]
+    # precision HIGHEST: the default TPU bf16 dot rounds each DELTA, and two
+    # independently-rounded telescoped sums can put s_above < s_below —
+    # non-monotone edges feed negative deltas into exp() and the render
+    # NaNs out. (The one-hot formulation this replaced was bf16-safe: its
+    # picks were single rounded table values, so ordering survived.) The
+    # contraction is ~0.3 GFLOP — f32 costs nothing measurable.
     picks = jax.lax.dot_general(
-        V, ind, (((2,), (1,)), ((0,), (0,)))
+        V, ind, (((2,), (1,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGHEST,
     )  # [R, 4, n+1]
     cdf_below = picks[:, 0]
     s_below = picks[:, 1]
@@ -126,9 +133,11 @@ def sample_pdf(key, s_edges, weights, n_samples: int, stratified: bool = True,
 
     denom = jnp.clip(cdf_above - cdf_below, 1e-8)
     frac = jnp.clip((u - cdf_below) / denom, 0.0, 1.0)
-    new_edges = s_below + frac * (s_above - s_below)
-    # monotone by construction: u sorted, CDF inverse monotone, clamps
-    # stay within each (ordered) source interval
+    new_edges = s_below + frac * (jnp.maximum(s_above, s_below) - s_below)
+    # exact math gives monotone edges (u sorted, CDF inverse monotone);
+    # the telescoped sums carry ~1e-7 rounding slop, so pin it — negative
+    # bin deltas downstream would overflow exp() in the compositor
+    new_edges = jax.lax.cummax(new_edges, axis=new_edges.ndim - 1)
     return jax.lax.stop_gradient(new_edges)
 
 

@@ -91,6 +91,35 @@ def test_interlevel_zero_when_consistent():
     assert float(R.interlevel_loss(edges, w_bad, edges, w)) > 1e-4
 
 
+def test_sample_pdf_matches_searchsorted_reference(rng):
+    """Telescoped-contraction inverse CDF == classic searchsorted interp."""
+    R_, B, N = 11, 32, 16
+    s = np.sort(rng.uniform(0, 1, (R_, B + 1)), axis=-1).astype(np.float32)
+    w = (rng.uniform(0, 1, (R_, B)) * (rng.random((R_, B)) < 0.4)).astype(
+        np.float32
+    )
+    got = np.asarray(
+        R.sample_pdf(None, jnp.asarray(s), jnp.asarray(w), N,
+                     stratified=False, histogram_padding=0.01)
+    )
+    u = np.linspace(0.0, 1.0, N + 1)
+    for r in range(R_):
+        wp = w[r] + 0.01
+        cdf = np.concatenate([[0.0], np.cumsum(wp / wp.sum())])
+        cdf = np.minimum(cdf, 1.0)
+        cdf[-1] = 1.0
+        # last edge with cdf <= u / first edge with cdf > u (terminal: last)
+        below = np.clip(np.searchsorted(cdf, u, side="right") - 1, 0, B)
+        above = np.clip(np.searchsorted(cdf, u, side="right"), 0, B)
+        denom = np.maximum(cdf[above] - cdf[below], 1e-8)
+        frac = np.clip((u - cdf[below]) / denom, 0.0, 1.0)
+        ref = s[r][below] + frac * (s[r][above] - s[r][below])
+        # f32 telescoped sums vs this f64 reference: ~1e-5 slop near
+        # bracket boundaries
+        np.testing.assert_allclose(got[r], ref, rtol=1e-4, atol=1e-4)
+    assert np.all(np.diff(got, axis=-1) >= 0)
+
+
 def test_outer_bounds_matches_searchsorted_reference(rng):
     """Mask-reduce _outer_bounds == the classic searchsorted formulation."""
     R_, B, K = 7, 13, 5
