@@ -163,22 +163,36 @@ def _gather_cols_bwd(res, g):
 _gather_cols.defvjp(_gather_cols_fwd, _gather_cols_bwd)
 
 
+# backward-compaction capacity: scatter slots per device = slack * N / D
+# rounded up to a lane multiple. Hashed brick ids are uniform over the
+# table, so per-shard descriptor counts concentrate tightly around N / D;
+# 1.5x absorbs the statistical spread plus boundary-straddling dense
+# levels. A (compiled-but-rarely-taken) lax.cond falls back to the full
+# masked scatter if a shard ever owns more than cap descriptors.
+_TP_BWD_SLACK = 1.5
+
+
 @functools.lru_cache(maxsize=None)
-def _tp_gather_cols(axis_name: str):
+def _tp_gather_cols(axis_name: str, n_shards: int):
     """Tensor-parallel brick gather for COLUMN-SHARDED tables.
 
     Inside a ``shard_map`` over mesh axis ``axis_name``, each device holds a
     contiguous column slice of the table; it gathers the indices it owns
     (others masked to zero) and the full feature columns are reassembled
     with one ``psum`` over ICI. The backward scatters cotangents into the
-    local shard only — table gradients need NO cross-device traffic.
+    local shard only — table gradients need NO cross-device traffic — and
+    COMPACTS to the owned descriptors first (stable argsort of the
+    ownership mask + a capped take), so each shard scatters ~N/D
+    descriptors instead of walking all N: the backward scatter, the
+    dominant per-descriptor cost (~17-26 ns each, scripts/exp_scatter2.py),
+    scales with the model axis.
 
-    Scaling analysis (be honest about what TP buys on a descriptor-bound
-    workload): every device still walks the FULL index list, so gather
-    descriptors do NOT shrink with the model axis — ray data-parallelism is
-    what scales encode time (each DP shard gathers only its rays). The
-    model axis scales table MEMORY (hash tables + Adam state split 1/m),
-    enabling scenes whose grids exceed one chip's HBM.
+    Scaling analysis: the FORWARD still walks the full index list per
+    device (features must be reassembled in ray order, and a descriptor
+    unsort costs the same as the gather it would save), so fwd encode time
+    does not shrink with the model axis — ray data-parallelism is what
+    scales it. The model axis scales table MEMORY (hash tables + Adam
+    state split 1/m) and now also the backward scatter.
     """
 
     @jax.custom_vjp
@@ -197,18 +211,83 @@ def _tp_gather_cols(axis_name: str):
 
     def bwd(res, g):
         idx, shape = res
+        n = idx.shape[0]
         li = idx - jax.lax.axis_index(axis_name) * shape[1]
         own = (li >= 0) & (li < shape[1])
-        gl = g.astype(jnp.float32) * own.astype(jnp.float32)[None, :]
-        return (
-            jnp.zeros(shape, jnp.float32).at[
+        gf = g.astype(jnp.float32)
+        cap = min(-(-int(n * _TP_BWD_SLACK / n_shards) // 128) * 128, n)
+
+        def compact(_):
+            # stable argsort of the (negated) ownership mask lists owned
+            # descriptor positions first, in original order
+            order = jnp.argsort(~own, stable=True)
+            sel = order[:cap]
+            valid = own[sel]
+            gl = jnp.take(gf, sel, axis=1) * valid.astype(jnp.float32)[None]
+            tgt = jnp.clip(jnp.take(li, sel), 0, shape[1] - 1)
+            return jnp.zeros(shape, jnp.float32).at[:, tgt].add(gl)
+
+        def full(_):
+            gl = gf * own.astype(jnp.float32)[None, :]
+            return jnp.zeros(shape, jnp.float32).at[
                 :, jnp.clip(li, 0, shape[1] - 1)
-            ].add(gl),
-            None,
-        )
+            ].add(gl)
+
+        if cap >= n:
+            return full(None), None
+        grad = jax.lax.cond(jnp.sum(own) <= cap, compact, full, None)
+        return grad, None
 
     gather.defvjp(fwd, bwd)
     return gather
+
+
+@functools.lru_cache(maxsize=None)
+def _tp_onehot_slab(axis_name: str, g0: int, n_cols: int):
+    """Replicate the dense-level column range [g0, g0+n_cols) on the fly
+    (for the one-hot MXU encode path under tensor parallelism).
+
+    The coarse dense levels are tiny (<= _ONEHOT_MAX_BRICKS columns,
+    ~0.5 MB) but their descriptors are SPATIALLY CLUSTERED — under
+    contiguous column sharding they would all land on one shard and skew
+    the masked gather/scatter. Materializing the slab with one small psum
+    removes those descriptors from the sharded path entirely and keeps the
+    one-hot matmul (zero gather/scatter descriptors) available under TP.
+
+    Contract matches _tp_gather_cols: forward psum-replicates; backward
+    takes the (model-axis-replicated) cotangent and writes only the owned
+    columns into the local shard — no collective, no scaling.
+    """
+
+    @jax.custom_vjp
+    def slab(local_tables):
+        c_local = local_tables.shape[1]
+        li = g0 + jnp.arange(n_cols) \
+            - jax.lax.axis_index(axis_name) * c_local
+        own = (li >= 0) & (li < c_local)
+        cols = jnp.take(
+            local_tables, jnp.clip(li, 0, c_local - 1), axis=1
+        ) * own.astype(local_tables.dtype)[None, :]
+        return jax.lax.psum(cols, axis_name)
+
+    def fwd(local_tables):
+        return slab(local_tables), local_tables.shape
+
+    def bwd(shape, g):
+        c_local = shape[1]
+        ax = jax.lax.axis_index(axis_name)
+        # local column j holds global id ax*c_local + j; it receives slab
+        # entry rel = ax*c_local + j - g0 when that lies inside the slab
+        j = jnp.arange(c_local)
+        rel = ax * c_local + j - g0
+        own = (rel >= 0) & (rel < n_cols)
+        upd = jnp.take(
+            g.astype(jnp.float32), jnp.clip(rel, 0, n_cols - 1), axis=1
+        ) * own.astype(jnp.float32)[None, :]
+        return (upd,)
+
+    slab.defvjp(fwd, bwd)
+    return slab
 
 
 def hash_encode(tables, x, config: HashGridConfig,
@@ -251,19 +330,30 @@ def hash_encode(tables, x, config: HashGridConfig,
     # tiny dense levels (a prefix — resolutions ascend) go through a one-hot
     # MXU matmul: no gather/scatter descriptors fwd or bwd (see
     # _ONEHOT_MAX_BRICKS note). Everything else takes the brick gather.
+    # Under TP, the dense level's columns are psum-replicated on the fly
+    # (~0.5 MB — see _tp_onehot_slab): dense descriptors are spatially
+    # clustered and would skew the sharded path, and the one-hot matmul is
+    # free of gather/scatter descriptors either way.
     n_oh = 0
-    if model_axis is None:
-        for l, res in enumerate(res_list):
-            bpa = ((res - 1) >> 1) + 1
-            if bpa**3 <= min(NB, _ONEHOT_MAX_BRICKS):
-                n_oh = l + 1
-            else:
-                break
+    for l, res in enumerate(res_list):
+        bpa = ((res - 1) >> 1) + 1
+        if bpa**3 <= min(NB, _ONEHOT_MAX_BRICKS):
+            n_oh = l + 1
+        else:
+            break
+    n_shards = 1
+    if model_axis is not None:
+        n_shards = (L * NB) // tables.shape[1]
     parts = []
     for l in range(n_oh):
         bpa = ((res_list[l] - 1) >> 1) + 1
         B_l = bpa**3
-        sub = tables[:, l * NB: l * NB + B_l].astype(jnp.bfloat16)
+        if model_axis is not None:
+            sub = _tp_onehot_slab(model_axis, l * NB, B_l)(tables).astype(
+                jnp.bfloat16
+            )
+        else:
+            sub = tables[:, l * NB: l * NB + B_l].astype(jnp.bfloat16)
         oh = (
             (ids[l] - l * NB)[None, :] == jnp.arange(B_l)[:, None]
         ).astype(jnp.bfloat16)  # [B_l, N]
@@ -276,7 +366,7 @@ def hash_encode(tables, x, config: HashGridConfig,
     if n_oh < L:
         idx = jnp.stack(ids[n_oh:]).reshape(-1)  # [(L - n_oh) * N]
         if model_axis is not None:
-            parts.append(_tp_gather_cols(model_axis)(tables, idx))
+            parts.append(_tp_gather_cols(model_axis, n_shards)(tables, idx))
         else:
             parts.append(_gather_cols(tables, idx))
     cols = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)

@@ -87,6 +87,68 @@ def test_tp_matches_dp():
     )
 
 
+def test_tp_matches_dp_with_onehot_level():
+    """Same DP(4)==DP(4)xTP(2) invariant with a table large enough that the
+    coarse level rides the one-hot MXU path (psum-replicated slab under TP,
+    _tp_onehot_slab) and the hashed levels' backward takes the COMPACTED
+    owned-descriptor scatter. Exercises both new TP mechanisms."""
+    import jax.numpy as jnp
+
+    from nerf_vo_tpu.mapping import keyframe_buffer as kb
+    from nerf_vo_tpu.mapping.trainer import MappingTrainer, TrainerConfig
+    from nerf_vo_tpu.models.nerfacto import NerfactoConfig, NerfactoModel
+    from nerf_vo_tpu.parallel import sharding
+
+    K, H, W = 4, 12, 16
+    model = NerfactoModel(
+        NerfactoConfig(
+            num_proposal_samples=(8,),
+            num_nerf_samples=6,
+            num_images=K,
+            log2_hashmap_size=14,  # NB=512: base res 16 is dense -> one-hot
+            max_res=64,
+            proposal_resolutions=(8,),
+        )
+    )
+    trainer = MappingTrainer(
+        model, TrainerConfig(rays_per_batch=64, max_iterations=8), K
+    )
+    buf = kb.create(K, H, W)
+    packet = {
+        "intrinsics": jnp.tile(jnp.asarray([10.0, 10.0, W / 2, H / 2]),
+                               (K, 1)),
+        "c2w": jnp.tile(jnp.eye(4), (K, 1, 1)),
+        "color": jnp.full((K, H, W, 3), 0.5),
+        "depth": jnp.full((K, H, W), 2.0),
+        "normal": jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (K, H, W, 1)),
+    }
+    buf = kb.insert(buf, jnp.arange(K), packet)
+    key = jax.random.PRNGKey(1)
+
+    from nerf_vo_tpu.ops.hash_grid import HashGridConfig
+    assert model.field.grid.resolutions[0] == 16
+
+    mesh_dp = sharding.make_mesh(4)
+    st_dp = sharding.replicate(trainer.init(jax.random.PRNGKey(0)), mesh_dp)
+    dp = sharding.make_dp_train_step(trainer, mesh_dp)
+    st_dp2, m_dp = dp(st_dp, sharding.replicate(buf, mesh_dp), key)
+
+    mesh_tp = sharding.make_mesh_2d(4, 2)
+    st_tp = sharding.shard_state_tp(trainer.init(jax.random.PRNGKey(0)),
+                                    mesh_tp)
+    tp = sharding.make_dp_tp_train_step(trainer, mesh_tp)
+    st_tp2, m_tp = tp(st_tp, sharding.replicate(buf, mesh_tp), key)
+
+    np.testing.assert_allclose(
+        float(m_dp["loss"]), float(m_tp["loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_dp2.params["field"]["tables"]),
+        np.asarray(st_tp2.params["field"]["tables"]),
+        rtol=2e-4, atol=2e-6,
+    )
+
+
 def test_tp_occupancy_grid_refreshes():
     """The NGP path on a 2D data x model mesh must refresh its occupancy
     grid every update_every steps (this was a pass-through gap: the TP
