@@ -69,56 +69,52 @@ class DenseBAProblem(NamedTuple):
     valid: jnp.ndarray  # [E] bool
 
 
-@functools.partial(jax.jit, static_argnames=("num_iters", "window"))
-def dense_bundle_adjust(
-    problem: DenseBAProblem,
+def _dense_ba_core(
+    poses0,
+    disps0,  # [N, hwl] — the local PIXEL BLOCK of inverse depths
+    intrinsics,
+    ii,
+    jj,
+    tgt,  # [E, hwl, 2]
+    wgt,  # [E, hwl, 2]
+    valid,
+    grid,  # [hwl, 2] pixel coordinates of this block
     slot_map,
+    eta,  # [N, hwl] or None
     *,
-    num_iters: int = 2,
-    window: int = 12,
-    lm_lambda: float = 1e-4,
-    ep: float = 0.1,
-    eta=None,
-    disp_clip: Tuple[float, float] = (1e-3, 10.0),
+    num_iters: int,
+    window: int,
+    lm_lambda: float,
+    ep: float,
+    disp_clip: Tuple[float, float],
+    axis_name=None,
 ):
-    """Damped GN over window poses + per-pixel inverse depths.
-
-    Args:
-      slot_map: [N] window-local pose slot or -1 (fixed).
-      eta: optional [N, h, w] per-pixel depth damping (the update net's
-        damping head, reference droid_slam.py update()).
-
-    Returns (poses, disps, costs[num_iters]).
-    """
-    N, h, w = problem.disps.shape
-    E = problem.ii.shape[0]
-    hw = h * w
+    """GN core over a pixel BLOCK. With ``axis_name`` set (inside a
+    shard_map that splits the pixel axis), the reduced camera system is
+    psum-accumulated across shards — per-pixel work (jacobians, depth
+    back-substitution, marginal covariance) stays shard-local, so the
+    heavy [E, hw, 2, 6] jacobian tensors shrink 1/D per device."""
+    N, hwl = disps0.shape
+    E = ii.shape[0]
     P = window
 
-    ii, jj = problem.ii, problem.jj
     li = slot_map[ii]
     lj = slot_map[jj]
     sl_i = jnp.clip(li, 0, P - 1)
     sl_j = jnp.clip(lj, 0, P - 1)
-    edge_valid = problem.valid & (ii != jj)
+    edge_valid = valid & (ii != jj)
 
-    ys, xs = jnp.meshgrid(
-        jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32),
-        indexing="ij",
-    )
-    grid = jnp.stack([xs, ys], -1).reshape(hw, 2)
-
-    tgt = problem.targets.reshape(E, hw, 2)
-    wgt = problem.weights.reshape(E, hw, 2)
+    def _acc(x):
+        return jax.lax.psum(x, axis_name) if axis_name is not None else x
 
     def gn_iteration(carry, _):
         poses, disps = carry
 
         g_i = poses[ii]
         g_j = poses[jj]
-        k_i = problem.intrinsics[ii]
-        k_j = problem.intrinsics[jj]
-        d = disps[ii].reshape(E, hw)
+        k_i = intrinsics[ii]
+        k_j = intrinsics[jj]
+        d = disps[ii]
 
         zeros6 = jnp.zeros((6,))
 
@@ -132,15 +128,15 @@ def dense_bundle_adjust(
         )
         jac = jax.vmap(jac_pix, in_axes=(None, None, None, 0, 0, 0, 0, None, 0, 0))
         (J_i, J_j, J_d), z = jac(
-            zeros6, zeros6, jnp.zeros((hw,)), g_i, g_j, k_i, k_j, grid, d, tgt
+            zeros6, zeros6, jnp.zeros((hwl,)), g_i, g_j, k_i, k_j, grid, d, tgt
         )
         res_pix = jax.vmap(res_fn, in_axes=(None, None, 0, None, None, None,
                                             None, 0, 0, 0))
         r, _ = jax.vmap(res_pix, in_axes=(None, None, None, 0, 0, 0, 0, None,
                                           0, 0))(
-            zeros6, zeros6, jnp.zeros((hw,)), g_i, g_j, k_i, k_j, grid, d, tgt
+            zeros6, zeros6, jnp.zeros((hwl,)), g_i, g_j, k_i, k_j, grid, d, tgt
         )
-        # J_i/J_j: [E, hw, 2, 6]; J_d: [E, hw, 2]; r/z: [E, hw, 2]/[E, hw]
+        # J_i/J_j: [E, hwl, 2, 6]; J_d: [E, hwl, 2]; r/z: [E, hwl, 2]/[E, hwl]
 
         ok = (
             edge_valid[:, None]
@@ -164,36 +160,39 @@ def dense_bundle_adjust(
         # outputs today) — the sqrt factorization is not sign-agnostic, so
         # clamp to keep a future signed-weight net from emitting NaNs that
         # the isfinite guard would silently mask into zero updates.
-        sw = jnp.sqrt(jnp.maximum(wm, 0.0))  # [E, hw, 2]
+        sw = jnp.sqrt(jnp.maximum(wm, 0.0))  # [E, hwl, 2]
         Gs = (
             (sw[..., None] * J_i)[..., None, :] * oh_i[:, None, None, :, None]
             + (sw[..., None] * J_j)[..., None, :] * oh_j[:, None, None, :, None]
-        ).reshape(E, hw, 2, P * 6)
+        ).reshape(E, hwl, 2, P * 6)
 
-        Gs_flat = Gs.reshape(E * hw * 2, P * 6)
+        Gs_flat = Gs.reshape(E * hwl * 2, P * 6)
         B = jnp.matmul(Gs_flat.T, Gs_flat, precision=_HI)  # [P6, P6]
         v = jnp.matmul(Gs_flat.T, (sw * -r).reshape(-1), precision=_HI)
 
         # ---- depth terms ----------------------------------------------
-        C = jnp.zeros((N, hw)).at[ii].add(jnp.sum(wJ_d * J_d, -1))
-        w_d = jnp.zeros((N, hw)).at[ii].add(jnp.sum(wJ_d * (-r), -1))
-        swJd = sw * J_d  # [E, hw, 2]
+        C = jnp.zeros((N, hwl)).at[ii].add(jnp.sum(wJ_d * J_d, -1))
+        w_d = jnp.zeros((N, hwl)).at[ii].add(jnp.sum(wJ_d * (-r), -1))
+        swJd = sw * J_d  # [E, hwl, 2]
         u_all = (
             Gs[:, :, 0] * swJd[:, :, 0:1]
             + Gs[:, :, 1] * swJd[:, :, 1:2]
-        )  # [E, hw, P*6]
-        U = jnp.zeros((N, hw, P * 6)).at[ii].add(u_all)
+        )  # [E, hwl, P*6]
+        U = jnp.zeros((N, hwl, P * 6)).at[ii].add(u_all)
 
         damp = lm_lambda * C + 1e-7
         if eta is not None:
-            damp = damp + eta.reshape(N, hw)
+            damp = damp + eta
         Cinv = 1.0 / (C + damp)
 
         # ---- Schur + solve --------------------------------------------
-        Uf = U.reshape(N * hw, P * 6)
-        cf = Cinv.reshape(N * hw)
-        H = B - jnp.matmul(Uf.T, cf[:, None] * Uf, precision=_HI)
-        rhs = v - jnp.matmul(Uf.T, cf * w_d.reshape(-1), precision=_HI)
+        # B, v, and the Schur products all SUM over pixels, so the sharded
+        # path psum-accumulates the (tiny) reduced system once per
+        # iteration; the solve then replicates exactly on every shard.
+        Uf = U.reshape(N * hwl, P * 6)
+        cf = Cinv.reshape(N * hwl)
+        H = _acc(B - jnp.matmul(Uf.T, cf[:, None] * Uf, precision=_HI))
+        rhs = _acc(v - jnp.matmul(Uf.T, cf * w_d.reshape(-1), precision=_HI))
         H = H + jnp.diag(lm_lambda * jnp.diagonal(H) + ep)
         # LU solve: scipy cholesky is pathologically slow on this backend
         dx = jnp.linalg.solve(H, rhs).reshape(P, 6)
@@ -201,7 +200,7 @@ def dense_bundle_adjust(
 
         dz = Cinv * (
             w_d - jnp.matmul(Uf, dx.reshape(P * 6),
-                             precision=_HI).reshape(N, hw)
+                             precision=_HI).reshape(N, hwl)
         )
         touched = jnp.zeros((N,), bool).at[ii].max(edge_valid)
         dz = jnp.where(touched[:, None] & jnp.isfinite(dz), dz, 0.0)
@@ -212,12 +211,12 @@ def dense_bundle_adjust(
         #   Sigma_d = C^-1 + C^-1 U S^-1 U^T C^-1
         # with S the (damped) Schur pose Hessian already assembled above.
         Pcov = jnp.linalg.inv(H)  # [P*6, P*6] — small window system
-        Uf = U.reshape(N, hw, P * 6)
+        Uf = U.reshape(N, hwl, P * 6)
         quad = jnp.einsum(
             "nha,ab,nhb->nh", Uf, Pcov, Uf, precision=_HI
         )
         cov = Cinv + Cinv * quad * Cinv
-        cov = jnp.where(touched[:, None], cov, 1e6).reshape(N, h, w)
+        cov = jnp.where(touched[:, None], cov, 1e6)
 
         pose_slot = slot_map
         xi_full = jnp.where(
@@ -225,15 +224,151 @@ def dense_bundle_adjust(
             dx[jnp.clip(pose_slot, 0, P - 1)], 0.0,
         )
         poses = lie.se3_retract(poses, xi_full)
-        disps = jnp.clip(
-            disps + dz.reshape(N, h, w), disp_clip[0], disp_clip[1]
-        )
-        return (poses, disps), (jnp.sum(wm * r * r), cov)
+        disps = jnp.clip(disps + dz, disp_clip[0], disp_clip[1])
+        return (poses, disps), (_acc(jnp.sum(wm * r * r)), cov)
 
     (poses, disps), (costs, covs) = jax.lax.scan(
-        gn_iteration, (problem.poses, problem.disps), None, length=num_iters
+        gn_iteration, (poses0, disps0), None, length=num_iters
     )
     return poses, disps, costs, covs[-1]
+
+
+@functools.partial(jax.jit, static_argnames=("num_iters", "window"))
+def dense_bundle_adjust(
+    problem: DenseBAProblem,
+    slot_map,
+    *,
+    num_iters: int = 2,
+    window: int = 12,
+    lm_lambda: float = 1e-4,
+    ep: float = 0.1,
+    eta=None,
+    disp_clip: Tuple[float, float] = (1e-3, 10.0),
+):
+    """Damped GN over window poses + per-pixel inverse depths.
+
+    Args:
+      slot_map: [N] window-local pose slot or -1 (fixed).
+      eta: optional [N, h, w] per-pixel depth damping (the update net's
+        damping head, reference droid_slam.py update()).
+
+    Returns (poses, disps, costs[num_iters], depth covariance [N, h, w]).
+    """
+    N, h, w = problem.disps.shape
+    E = problem.ii.shape[0]
+    hw = h * w
+
+    ys, xs = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32),
+        indexing="ij",
+    )
+    grid = jnp.stack([xs, ys], -1).reshape(hw, 2)
+
+    poses, disps, costs, cov = _dense_ba_core(
+        problem.poses,
+        problem.disps.reshape(N, hw),
+        problem.intrinsics,
+        problem.ii,
+        problem.jj,
+        problem.targets.reshape(E, hw, 2),
+        problem.weights.reshape(E, hw, 2),
+        problem.valid,
+        grid,
+        slot_map,
+        eta.reshape(N, hw) if eta is not None else None,
+        num_iters=num_iters,
+        window=window,
+        lm_lambda=lm_lambda,
+        ep=ep,
+        disp_clip=disp_clip,
+    )
+    return (
+        poses,
+        disps.reshape(N, h, w),
+        costs,
+        cov.reshape(N, h, w),
+    )
+
+
+def make_sharded_dense_ba(mesh, axis: str = "data", *,
+                          num_iters: int = 2, window: int = 12,
+                          lm_lambda: float = 1e-4, ep: float = 0.1,
+                          disp_clip: Tuple[float, float] = (1e-3, 10.0)):
+    """Build a pixel-sharded dense BA over a device mesh.
+
+    The reference (and the round-1 build) runs tracking BA replicated; the
+    dense system is per-pixel embarrassingly parallel up to the reduced
+    camera matrix, so the pixel axis shards over ``axis``: each device
+    linearizes hw/D pixels (the [E, hw, 2, 6] jacobian tensors — the
+    solver's memory and FLOP bulk — shrink 1/D), the (P*6)^2 reduced
+    system psum-accumulates over ICI once per GN iteration, and depth
+    back-substitution + marginal covariance stay shard-local.
+
+    Returns step(problem, slot_map, eta=None) -> (poses, disps, costs, cov)
+    with the same semantics as :func:`dense_bundle_adjust` (bit-equal up to
+    f32 reduction order; see tests/test_parallel.py).
+    """
+    from jax.sharding import PartitionSpec as P_
+
+    n_dev = mesh.shape[axis]
+
+    @functools.lru_cache(maxsize=2)
+    def build(has_eta: bool):
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(
+                P_(), P_(None, axis), P_(), P_(), P_(),
+                P_(None, axis, None), P_(None, axis, None), P_(),
+                P_(axis, None), P_(),
+                P_(None, axis) if has_eta else P_(),
+            ),
+            out_specs=(P_(), P_(None, axis), P_(), P_(None, axis)),
+            check_vma=False,
+        )
+        def sharded(poses, disps, intr, ii, jj, tgt, wgt, valid, g, slots,
+                    eta_blk):
+            return _dense_ba_core(
+                poses, disps, intr, ii, jj, tgt, wgt, valid, g, slots,
+                eta_blk if has_eta else None,
+                num_iters=num_iters, window=window, lm_lambda=lm_lambda,
+                ep=ep, disp_clip=disp_clip, axis_name=axis,
+            )
+
+        return jax.jit(sharded)
+
+    def step(problem: DenseBAProblem, slot_map, eta=None):
+        N, h, w = problem.disps.shape
+        E = problem.ii.shape[0]
+        hw = h * w
+        assert hw % n_dev == 0, (hw, n_dev)
+
+        ys, xs = jnp.meshgrid(
+            jnp.arange(h, dtype=jnp.float32),
+            jnp.arange(w, dtype=jnp.float32),
+            indexing="ij",
+        )
+        grid = jnp.stack([xs, ys], -1).reshape(hw, 2)
+
+        poses, disps, costs, cov = build(eta is not None)(
+            problem.poses,
+            problem.disps.reshape(N, hw),
+            problem.intrinsics,
+            problem.ii,
+            problem.jj,
+            problem.targets.reshape(E, hw, 2),
+            problem.weights.reshape(E, hw, 2),
+            problem.valid,
+            grid,
+            slot_map,
+            eta.reshape(N, hw) if eta is not None
+            else jnp.zeros((1, 1), jnp.float32),
+        )
+        return (
+            poses, disps.reshape(N, h, w), costs, cov.reshape(N, h, w)
+        )
+
+    return step
 
 
 def frame_distance(poses, disps, intrinsics, ii, jj, beta: float = 0.3):
