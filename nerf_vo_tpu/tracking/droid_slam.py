@@ -72,11 +72,23 @@ class DroidConfig:
 
 class DROIDSLAMTracker:
     def __init__(self, config: DroidConfig, net: DroidNet, params,
-                 height: int, width: int):
+                 height: int, width: int, mesh=None):
+        """``mesh``: optional jax.sharding.Mesh — when given, the frontend
+        dense-BA solver shards its pixel axis over the mesh's first axis
+        (ops/dense_ba.make_sharded_dense_ba): per-device jacobian work
+        shrinks 1/D with one (P*6)^2 psum per GN iteration. The reference
+        is single-GPU here; this is the tracking-side multi-chip path."""
         assert height % 8 == 0 and width % 8 == 0
         self.cfg = config
         self.net = net
         self.params = {"params": params}
+        self._sharded_ba = (
+            dense_ba.make_sharded_dense_ba(
+                mesh, axis=mesh.axis_names[0],
+                num_iters=config.ba_iters, window=config.frontend_window,
+            )
+            if mesh is not None else None
+        )
         self.H, self.W = height, width
         self.h, self.w = height // 8, width // 8
         B = config.buffer_size
@@ -239,10 +251,15 @@ class DROIDSLAMTracker:
             poses=poses, disps=disps, intrinsics=intrinsics8, ii=ii, jj=jj,
             targets=target, weights=weight, valid=e_live,
         )
-        poses, disps, costs, depth_cov = dense_ba.dense_bundle_adjust(
-            problem, slot_map, num_iters=cfg.ba_iters,
-            window=cfg.frontend_window, eta=eta,
-        )
+        if self._sharded_ba is not None:
+            poses, disps, costs, depth_cov = self._sharded_ba(
+                problem, slot_map, eta=eta
+            )
+        else:
+            poses, disps, costs, depth_cov = dense_ba.dense_bundle_adjust(
+                problem, slot_map, num_iters=cfg.ba_iters,
+                window=cfg.frontend_window, eta=eta,
+            )
 
         hidden = jnp.where(e_live[:, None, None, None], net, hidden)
         e_target = jnp.where(e_live[:, None, None, None], target, e_target)

@@ -69,6 +69,34 @@ def test_droid_mechanics(droid_net, rng):
         )
 
 
+def test_droid_mesh_ba_matches_replicated(droid_net, rng):
+    """The tracker with a mesh (pixel-sharded frontend BA) follows the
+    replicated tracker's trajectory — the solver difference is psum
+    reduction order, amplified only by the GRU/GN recurrence."""
+    from nerf_vo_tpu.parallel import sharding
+
+    net, params = droid_net
+    frames = [_frame(rng, i) for i in range(6)]
+
+    tr0 = DROIDSLAMTracker(TINY, net, params, H, W)
+    tr1 = DROIDSLAMTracker(TINY, net, params, H, W,
+                           mesh=sharding.make_mesh(4))
+    for i, f in enumerate(frames):
+        tr0.track(i * 0.1, f, INTR, frame_index=i)
+        tr1.track(i * 0.1, f, INTR, frame_index=i)
+    tr0.flush()
+    tr1.flush()
+    t0 = tr0.trajectory()
+    t1 = tr1.trajectory()
+    assert t0.keys() == t1.keys()
+    for k in t0:
+        assert np.isfinite(t1[k]).all()
+        np.testing.assert_allclose(
+            t1[k][:3, :3] @ t1[k][:3, :3].T, np.eye(3), atol=1e-4
+        )
+        np.testing.assert_allclose(t0[k], t1[k], atol=5e-3)
+
+
 def test_droid_motion_filter(droid_net, rng):
     import dataclasses
 
