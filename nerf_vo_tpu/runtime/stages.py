@@ -324,6 +324,17 @@ class MappingStage:
             if self.preview_every
             else None
         )
+        # live web viewer (reference viser viewer, nerfstudio.py:101-102):
+        # opt-in via `viewer: true` in the config; renders stay on THIS
+        # thread (the viewer only mailboxes cameras/JPEGs)
+        self.viewer = None
+        self.viewer_every = getattr(args, "viewer_render_every", 25)
+        self.viewer_width = getattr(args, "viewer_width", 160)
+        if getattr(args, "viewer", False):
+            from nerf_vo_tpu.runtime.viewer import LiveViewer
+
+            self.viewer = LiveViewer(port=getattr(args, "viewer_port", 7007))
+            self.viewer.start()
 
     # -- keyframe stream ------------------------------------------------
 
@@ -401,7 +412,42 @@ class MappingStage:
             and self.num_inserted > 0
         ):
             self._dump_preview()
+        if (
+            self.viewer is not None
+            and self.step_count % self.viewer_every == 0
+            and self.num_inserted > 0
+        ):
+            self._push_viewer(metrics)
         return metrics
+
+    def _push_viewer(self, metrics) -> None:
+        import cv2
+
+        H, W = self.buffer.hw
+        vw = min(self.viewer_width, W)
+        scale = vw / W
+        vh = max(int(round(H * scale)), 1)
+        intr = self.buffer.intrinsics[0] * scale
+        poses = np.asarray(
+            self.trainer.optimized_c2w(self.state, self.buffer)
+        )[: self.num_inserted]
+        cam = self.viewer.requested_camera()
+        c2w = jnp.asarray(
+            cam if cam is not None else poses[self.num_inserted - 1]
+        )
+        out = self.trainer.render_image(self.state, c2w, intr, vh, vw)
+        rgb = np.clip(np.asarray(out["rgb"]) * 255, 0, 255).astype(np.uint8)
+        depth = np.asarray(out["depth"])
+        dnorm = np.clip(
+            depth / max(float(depth.max()), 1e-6) * 255, 0, 255
+        ).astype(np.uint8)
+        _, rgb_jpg = cv2.imencode(".jpg", cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR))
+        _, d_jpg = cv2.imencode(".jpg", dnorm)
+        stats = {"step": float(self.step_count)}
+        for k in ("loss", "psnr"):
+            if k in metrics:
+                stats[k] = float(metrics[k])
+        self.viewer.publish(rgb_jpg.tobytes(), d_jpg.tobytes(), stats, poses)
 
     def _dump_preview(self) -> None:
         import cv2
