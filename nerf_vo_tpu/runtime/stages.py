@@ -250,14 +250,18 @@ class EnhancementStage:
             if "droid_slam_depth_covariance" in packet:
                 out["frames_depth_cov"] = packet["droid_slam_depth_covariance"]
 
-        # OpenCV -> OpenGL camera flip for the nerfstudio mapper
-        # (reference enhancement_module.py:117-118)
-        if self.mapping_name == "nerfstudio":
-            out["camera_extrinsics"] = np.asarray(
-                conventions.opencv_to_opengl(
-                    jnp.asarray(packet["camera_extrinsics"])
-                )
+        # OpenCV -> OpenGL camera flip. The reference flips only for the
+        # nerfstudio mapper (enhancement_module.py:117-118) because pyngp
+        # converts OpenCV poses internally; OUR mapper is OpenGL-native for
+        # both modes (keyframe_buffer.c2w is documented OpenGL, the sampler
+        # and the eval-side MapRenderer both assume it), so the flip applies
+        # unconditionally — feeding raw OpenCV poses to the instant-ngp mode
+        # trained with y/z-mirrored camera axes.
+        out["camera_extrinsics"] = np.asarray(
+            conventions.opencv_to_opengl(
+                jnp.asarray(packet["camera_extrinsics"])
             )
+        )
         return out
 
 
