@@ -137,13 +137,45 @@ def _split_take(tables, idx):
     return jnp.concatenate(parts, axis=1)
 
 
+# Backward-scatter payload trimming. The XLA scatter emitter is BYTE-bound
+# at production column widths (~45 GB/s of payload in every formulation,
+# scripts/exp_scatter2.py / exp_scatter3.py), so the grad path shrinks the
+# payload instead of reformulating the scatter:
+#   * the last 5 of 32 brick rows (per feature) are structural zero padding
+#     — slice them off before the scatter, pad the result after;
+#   * the cotangent is ALREADY bf16-valued (the forward gathers a bf16
+#     shadow of the table), so a bf16 scatter loses nothing in the payload;
+#     only the accumulation narrows. The scattered levels are the hashed
+#     FINE levels (coarse dense levels ride the one-hot MXU path with f32
+#     MXU accumulation), where brick sharing is low (~10-25 adds/brick at
+#     production shapes) — bf16 accumulation noise there is far below the
+#     stochastic-ray gradient noise Adam already absorbs. Flip to False to
+#     restore full-f32 accumulation (exact-parity debugging).
+SCATTER_BF16 = True
+
+
+def _scatter_cols(g, idx, shape):
+    """Column scatter-add of cotangents into an f32 zeros(shape) table grad,
+    with pad rows sliced off and (optionally) bf16 accumulation."""
+    rows = shape[0]
+    F = rows // _BRICK_PAD
+    real = _BRICK * F
+    acc_dtype = jnp.bfloat16 if SCATTER_BF16 else jnp.float32
+    grad = jnp.zeros((real, shape[1]), acc_dtype).at[:, idx].add(
+        g[:real].astype(acc_dtype)
+    ).astype(jnp.float32)
+    return jnp.concatenate(
+        [grad, jnp.zeros((rows - real, shape[1]), jnp.float32)], axis=0
+    )
+
+
 @jax.custom_vjp
 def _gather_cols(tables, idx):
     """Brick-column gather with mixed-precision autodiff: the forward
     gathers a bf16 SHADOW of the f32 table (halves descriptor payloads —
-    measured 2x), while the backward scatter-adds cotangents in full f32
-    (bf16 accumulation would decimate gradients on heavily-shared coarse
-    bricks). Linear in ``tables``, so the custom VJP is exact."""
+    measured 2x), while the backward scatter-adds through _scatter_cols
+    (pad rows dropped, bf16 payload). Linear in ``tables``, so the custom
+    VJP is exact."""
     return _split_take(tables.astype(jnp.bfloat16), idx)
 
 
@@ -153,11 +185,7 @@ def _gather_cols_fwd(tables, idx):
 
 def _gather_cols_bwd(res, g):
     idx, shape = res
-    # one column scatter-add (measured ~17 ns/descriptor; splitting into
-    # parallel buffers gives no overlap gain and costs HBM)
-    return jnp.zeros(shape, jnp.float32).at[:, idx].add(
-        g.astype(jnp.float32)
-    ), None
+    return _scatter_cols(g, idx, shape), None
 
 
 _gather_cols.defvjp(_gather_cols_fwd, _gather_cols_bwd)
@@ -214,7 +242,13 @@ def _tp_gather_cols(axis_name: str, n_shards: int):
         n = idx.shape[0]
         li = idx - jax.lax.axis_index(axis_name) * shape[1]
         own = (li >= 0) & (li < shape[1])
-        gf = g.astype(jnp.float32)
+        # same payload trimming as the single-chip _scatter_cols: the
+        # scatter is byte-bound, the cotangent is bf16-valued, pad rows
+        # are structural zeros
+        acc = jnp.bfloat16 if SCATTER_BF16 else jnp.float32
+        real = _BRICK * (shape[0] // _BRICK_PAD)
+        gf = g[:real].astype(acc)
+        pad = jnp.zeros((shape[0] - real, shape[1]), jnp.float32)
         cap = min(-(-int(n * _TP_BWD_SLACK / n_shards) // 128) * 128, n)
 
         def compact(_):
@@ -223,20 +257,23 @@ def _tp_gather_cols(axis_name: str, n_shards: int):
             order = jnp.argsort(~own, stable=True)
             sel = order[:cap]
             valid = own[sel]
-            gl = jnp.take(gf, sel, axis=1) * valid.astype(jnp.float32)[None]
+            gl = jnp.take(gf, sel, axis=1) * valid.astype(acc)[None]
             tgt = jnp.clip(jnp.take(li, sel), 0, shape[1] - 1)
-            return jnp.zeros(shape, jnp.float32).at[:, tgt].add(gl)
+            return jnp.zeros((real, shape[1]), acc).at[:, tgt].add(gl)
 
         def full(_):
-            gl = gf * own.astype(jnp.float32)[None, :]
-            return jnp.zeros(shape, jnp.float32).at[
+            gl = gf * own.astype(acc)[None, :]
+            return jnp.zeros((real, shape[1]), acc).at[
                 :, jnp.clip(li, 0, shape[1] - 1)
             ].add(gl)
 
         if cap >= n:
-            return full(None), None
-        grad = jax.lax.cond(jnp.sum(own) <= cap, compact, full, None)
-        return grad, None
+            grad = full(None)
+        else:
+            grad = jax.lax.cond(jnp.sum(own) <= cap, compact, full, None)
+        return jnp.concatenate(
+            [grad.astype(jnp.float32), pad], axis=0
+        ), None
 
     gather.defvjp(fwd, bwd)
     return gather
