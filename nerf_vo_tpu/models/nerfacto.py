@@ -43,6 +43,22 @@ class NerfactoConfig:
     aabb_min: float = -1.0
     aabb_max: float = 1.0
     predict_normals: bool = True
+    # where density-gradient normals (the orientation / pred-normal targets)
+    # are evaluated:
+    #   "samples" — at every final-field sample (nerfacto semantics
+    #     [upstream]): the d(density)/d(pos) pullback runs at R x S points.
+    #   "surface" — TPU redesign: ONE point per ray at the
+    #     rendered expected depth, weighted by accumulation. The normal
+    #     supervision signal lives where the surface is — the per-sample
+    #     version spends its pullback mostly on near-zero-weight samples —
+    #     and the pullback shrinks S-fold (48x at production config).
+    #     Quality-gated on the synthetic posed-keyframe fit
+    #     (scripts/exp_normals.py).
+    #   "none" — disable orientation + pred-normal losses entirely
+    #     (monosdf normal supervision against Omnidata priors remains).
+    # default stays "samples" (reference semantics) until the surface mode
+    # passes its TPU quality gate (scripts/exp_normals.py).
+    grad_normal_mode: str = "samples"
     background: str = "last_sample"  # or "black" / "white"
     # loss multipliers (reference: nerf_vo/mapping/nerfstudio.py:62-103)
     interlevel_loss_mult: float = 1.0
@@ -248,7 +264,7 @@ class NerfactoModel:
         field_params = {"params": params["field"]}
 
         grad_normals = None
-        if compute_grad_normals:
+        if compute_grad_normals and cfg.grad_normal_mode == "samples":
             # Density-gradient normals are TARGETS (stop-gradient), not a
             # differentiable branch: the reference's orientation loss is
             # second-order in the field [upstream nerfstudio], but a
@@ -310,6 +326,32 @@ class NerfactoModel:
             out["sample_pred_normals"] = pred_n
         if grad_normals is not None:
             out["sample_grad_normals"] = grad_normals
+        if compute_grad_normals and cfg.grad_normal_mode == "surface":
+            # One density pullback per ray at the rendered expected depth
+            # (grad_normal_mode="surface"): the [R, 1, 3] surface point re-
+            # encodes (R extra gather descriptors per level — noise next to
+            # the R*S of the field pass) and its d(density)/d(pos) gives the
+            # orientation / pred-normal target where the surface actually
+            # is, weighted by the ray's accumulation.
+            p_surf = jax.lax.stop_gradient(
+                origins + directions * depth[..., None]
+            )[..., None, :]
+            (dens_s, geo_s), pullback = jax.vjp(
+                lambda p: self.field.apply(
+                    field_params, p, method=self.field.density
+                ),
+                p_surf,
+            )
+            g = jax.lax.stop_gradient(
+                pullback((jnp.ones_like(dens_s), jnp.zeros_like(geo_s)))[0]
+            )
+            out["sample_grad_normals"] = -g / jnp.clip(
+                jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-7
+            )
+            out["surface_pred_normals"] = self.field.apply(
+                field_params, geo_s, method=self.field.normals
+            )
+            out["surface_weights"] = acc[..., None]
         return out
 
     # -- losses ------------------------------------------------------------
@@ -329,7 +371,9 @@ class NerfactoModel:
             batch.get("camera_indices"),
             key=key,
             train=True,
-            compute_grad_normals=cfg.predict_normals,
+            compute_grad_normals=(
+                cfg.predict_normals and cfg.grad_normal_mode != "none"
+            ),
             occ_grid=occ_grid,
         )
         metrics = {}
@@ -383,15 +427,19 @@ class NerfactoModel:
             loss = loss + cfg.normal_loss_mult * nloss
 
         if cfg.predict_normals and "sample_grad_normals" in out:
+            # surface mode carries ONE accumulation-weighted surface sample
+            # per ray; samples mode the full [R, S] set (see grad_normal_mode)
+            if cfg.grad_normal_mode == "surface":
+                n_w = out["surface_weights"]
+                n_pred = out["surface_pred_normals"]
+            else:
+                n_w = out["sample_weights"]
+                n_pred = out["sample_pred_normals"]
             oloss = L.orientation_loss(
-                out["sample_weights"],
-                out["sample_grad_normals"],
-                batch["directions"],
+                n_w, out["sample_grad_normals"], batch["directions"]
             )
             ploss = L.pred_normal_loss(
-                out["sample_weights"],
-                out["sample_pred_normals"],
-                out["sample_grad_normals"],
+                n_w, n_pred, out["sample_grad_normals"]
             )
             metrics["orientation_loss"] = oloss
             metrics["pred_normal_loss"] = ploss

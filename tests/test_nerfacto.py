@@ -69,6 +69,36 @@ def test_loss_and_grads_finite(model_and_params, rng):
     assert np.abs(np.asarray(flat)).sum() > 0
 
 
+@pytest.mark.parametrize("mode", ["samples", "surface", "none"])
+def test_grad_normal_modes(mode, rng):
+    """All three grad-normal placements produce finite losses/grads; the
+    orientation/pred-normal losses exist iff the mode computes targets."""
+    import dataclasses
+
+    model = NerfactoModel(dataclasses.replace(TINY, grad_normal_mode=mode))
+    params = model.init(jax.random.PRNGKey(0))
+    o, d = _rays(8, rng)
+    batch = {
+        "origins": o,
+        "directions": d,
+        "rgb": jnp.full((8, 3), 0.5),
+        "normal": jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (8, 1)),
+        "camera_indices": jnp.zeros((8,), jnp.int32),
+    }
+    (loss, metrics), grads = jax.value_and_grad(model.loss, has_aux=True)(
+        params, batch, jax.random.PRNGKey(1)
+    )
+    assert np.isfinite(float(loss))
+    has_norm_losses = "orientation_loss" in metrics
+    assert has_norm_losses == (mode != "none")
+    if has_norm_losses:
+        assert np.isfinite(float(metrics["orientation_loss"]))
+        assert np.isfinite(float(metrics["pred_normal_loss"]))
+    flat, _ = jax.flatten_util.ravel_pytree(grads)
+    assert np.isfinite(np.asarray(flat)).all()
+    assert np.abs(np.asarray(flat)).sum() > 0
+
+
 def test_overfit_constant_color(model_and_params, rng):
     model, _ = model_and_params
     params = model.init(jax.random.PRNGKey(2))
