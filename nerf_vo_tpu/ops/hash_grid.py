@@ -153,6 +153,109 @@ def _split_take(tables, idx):
 #     restore full-f32 accumulation (exact-parity debugging).
 SCATTER_BF16 = True
 
+# Cell-granular backward scatter: the brick-column cotangent has only 8F
+# nonzero rows of 27F — W zero-weights every brick corner outside the
+# sample's own 2x2x2 cell — so the backward can compact each column to its
+# cell's 8F rows (axis-wise shift-select by the base-corner bit; selection
+# IS compaction because the dropped rows are exactly zero), scatter
+# 128-byte columns (at F=8 bf16) into a per-level CELL table
+# [8F, 8*bricks], and densely transform back to the brick layout with a
+# constant [27, 8, 8] incidence contraction. 3.4x fewer scatter payload
+# bytes than the 27F-row brick scatter; exact (no approximation). Gated on
+# the hardware measurement in scripts/exp_scatter4.py — the scatter
+# emitter must stay byte-bound (~45 GB/s) at 64-row columns for this to
+# win; flip off if a per-descriptor floor dominates there.
+SCATTER_CELL = True
+
+
+def _cell_incidence():
+    """[27, 8, 8] 0/1 tensor: brick entry e receives cell-corner q of the
+    cell at pattern p iff e = (loc+d) axis-wise (q=(di,dj,dk), p=loc bits)."""
+    R = [[[0.0] * 8 for _ in range(8)] for _ in range(27)]
+    for p in range(8):
+        lx, ly, lz = (p >> 2) & 1, (p >> 1) & 1, p & 1
+        for q in range(8):
+            di, dj, dk = (q >> 2) & 1, (q >> 1) & 1, q & 1
+            e = ((lx + di) * 3 + (ly + dj)) * 3 + (lz + dk)
+            R[e][p][q] = 1.0
+    return jnp.asarray(R)
+
+
+def _compact_to_cell(g, loc, F):
+    """[>=27F, M] brick-column cotangent -> [8F, M] cell rows by three
+    axis shift-selects on the base-corner bits (dropped rows are zero)."""
+    M = g.shape[1]
+    t = g[: _BRICK * F].reshape(3, 3, 3, F, M)
+    bx = loc[0].astype(bool)[None, None, None, None]
+    by = loc[1].astype(bool)[None, None, None, None]
+    bz = loc[2].astype(bool)[None, None, None, None]
+    t = jnp.where(bx, t[1:3], t[0:2])  # [2, 3, 3, F, M]
+    t = jnp.where(by, t[:, 1:3], t[:, 0:2])  # [2, 2, 3, F, M]
+    t = jnp.where(bz, t[:, :, 1:3], t[:, :, 0:2])  # [2, 2, 2, F, M]
+    return t.reshape(8 * F, M)
+
+
+def _scatter_cells(g, idx, loc, shape, n_bricks, base_col):
+    """Cell-granular table gradient (see SCATTER_CELL): per scattered
+    level, scatter [8F]-row cotangent columns into a cell table and
+    transform back to brick layout. Returns the full [rows, total_cols]
+    f32 gradient (one-hot-level columns zero — their grads flow through
+    the dense-slice path in hash_encode)."""
+    rows, total_cols = shape
+    F = rows // _BRICK_PAD
+    M = idx.shape[0]
+    Ls = (total_cols - base_col) // n_bricks
+    N = M // Ls
+    acc = jnp.bfloat16 if SCATTER_BF16 else jnp.float32
+    gc = _compact_to_cell(g, loc, F).astype(acc)
+    p = (loc[0] * 2 + loc[1]) * 2 + loc[2]
+    R = _cell_incidence()
+    parts = []
+    for l in range(Ls):
+        sl = slice(l * N, (l + 1) * N)
+        cid = (idx[sl] - (base_col + l * n_bricks)) * 8 + p[sl]
+        cell = jnp.zeros((8 * F, 8 * n_bricks), acc).at[:, cid].add(gc[:, sl])
+        cellr = cell.astype(jnp.float32).reshape(8, F, n_bricks, 8)
+        parts.append(
+            jnp.einsum("qfcp,epq->efc", cellr, R).reshape(_BRICK * F, n_bricks)
+        )
+    grad_s = parts[0] if Ls == 1 else jnp.concatenate(parts, axis=1)
+    grad_s = jnp.concatenate(
+        [grad_s, jnp.zeros((rows - _BRICK * F, grad_s.shape[1]), jnp.float32)],
+        axis=0,
+    )
+    if base_col == 0:
+        return grad_s
+    return jnp.concatenate(
+        [jnp.zeros((rows, base_col), jnp.float32), grad_s], axis=1
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _gather_cols_cell(n_bricks: int, base_col: int):
+    """Brick-column gather whose backward takes the cell-granular scatter
+    path (_scatter_cells). idx must hold the SCATTERED levels' global
+    column ids (the suffix [base_col, total_cols) of the table, level-
+    major); loc their [3, M] base-corner bits (non-differentiable)."""
+
+    @jax.custom_vjp
+    def gather(tables, idx, loc):
+        return _split_take(tables.astype(jnp.bfloat16), idx)
+
+    def fwd(tables, idx, loc):
+        return gather(tables, idx, loc), (idx, loc, tables.shape)
+
+    def bwd(res, g):
+        idx, loc, shape = res
+        return (
+            _scatter_cells(g, idx, loc, shape, n_bricks, base_col),
+            None,
+            None,
+        )
+
+    gather.defvjp(fwd, bwd)
+    return gather
+
 
 def _scatter_cols(g, idx, shape):
     """Column scatter-add of cotangents into an f32 zeros(shape) table grad,
@@ -224,7 +327,7 @@ def _tp_gather_cols(axis_name: str, n_shards: int):
     """
 
     @jax.custom_vjp
-    def gather(local_tables, idx):
+    def gather(local_tables, idx, loc):
         li = idx - jax.lax.axis_index(axis_name) * local_tables.shape[1]
         own = (li >= 0) & (li < local_tables.shape[1])
         cols = _split_take(
@@ -234,22 +337,36 @@ def _tp_gather_cols(axis_name: str, n_shards: int):
         cols = cols * own.astype(cols.dtype)[None, :]
         return jax.lax.psum(cols, axis_name)
 
-    def fwd(local_tables, idx):
-        return gather(local_tables, idx), (idx, local_tables.shape)
+    def fwd(local_tables, idx, loc):
+        return gather(local_tables, idx, loc), (idx, loc, local_tables.shape)
 
     def bwd(res, g):
-        idx, shape = res
+        idx, loc, shape = res
         n = idx.shape[0]
+        F = shape[0] // _BRICK_PAD
         li = idx - jax.lax.axis_index(axis_name) * shape[1]
         own = (li >= 0) & (li < shape[1])
-        # same payload trimming as the single-chip _scatter_cols: the
-        # scatter is byte-bound, the cotangent is bf16-valued, pad rows
-        # are structural zeros
+        # same payload trimming as the single-chip path: the scatter is
+        # byte-bound, the cotangent is bf16-valued, pad rows are structural
+        # zeros; with SCATTER_CELL the payload further compacts to the 8F
+        # nonzero cell rows (128 B vs 432 at F=8) and the brick layout is
+        # rebuilt per LOCAL column by the incidence contraction — the
+        # transform mixes nothing across columns, so it applies unchanged
+        # to a column shard.
         acc = jnp.bfloat16 if SCATTER_BF16 else jnp.float32
-        real = _BRICK * (shape[0] // _BRICK_PAD)
-        gf = g[:real].astype(acc)
+        real = _BRICK * F
         pad = jnp.zeros((shape[0] - real, shape[1]), jnp.float32)
         cap = min(-(-int(n * _TP_BWD_SLACK / n_shards) // 128) * 128, n)
+
+        if SCATTER_CELL:
+            gf = _compact_to_cell(g, loc, F).astype(acc)
+            p = (loc[0] * 2 + loc[1]) * 2 + loc[2]
+            tgt_all = jnp.clip(li * 8 + p, 0, 8 * shape[1] - 1)
+            out_cols = 8 * shape[1]
+        else:
+            gf = g[:real].astype(acc)
+            tgt_all = jnp.clip(li, 0, shape[1] - 1)
+            out_cols = shape[1]
 
         def compact(_):
             # stable argsort of the (negated) ownership mask lists owned
@@ -258,22 +375,26 @@ def _tp_gather_cols(axis_name: str, n_shards: int):
             sel = order[:cap]
             valid = own[sel]
             gl = jnp.take(gf, sel, axis=1) * valid.astype(acc)[None]
-            tgt = jnp.clip(jnp.take(li, sel), 0, shape[1] - 1)
-            return jnp.zeros((real, shape[1]), acc).at[:, tgt].add(gl)
+            tgt = jnp.take(tgt_all, sel)
+            return jnp.zeros((gf.shape[0], out_cols), acc).at[:, tgt].add(gl)
 
         def full(_):
             gl = gf * own.astype(acc)[None, :]
-            return jnp.zeros((real, shape[1]), acc).at[
-                :, jnp.clip(li, 0, shape[1] - 1)
+            return jnp.zeros((gf.shape[0], out_cols), acc).at[
+                :, tgt_all
             ].add(gl)
 
         if cap >= n:
             grad = full(None)
         else:
             grad = jax.lax.cond(jnp.sum(own) <= cap, compact, full, None)
+        if SCATTER_CELL:
+            cellr = grad.astype(jnp.float32).reshape(8, F, shape[1], 8)
+            grad = jnp.einsum("qfcp,epq->efc", cellr, _cell_incidence())
+            grad = grad.reshape(real, shape[1])
         return jnp.concatenate(
             [grad.astype(jnp.float32), pad], axis=0
-        ), None
+        ), None, None
 
     gather.defvjp(fwd, bwd)
     return gather
@@ -402,8 +523,15 @@ def hash_encode(tables, x, config: HashGridConfig,
         )
     if n_oh < L:
         idx = jnp.stack(ids[n_oh:]).reshape(-1)  # [(L - n_oh) * N]
+        loc_s = local[:, n_oh:, :].reshape(3, -1)
         if model_axis is not None:
-            parts.append(_tp_gather_cols(model_axis, n_shards)(tables, idx))
+            parts.append(
+                _tp_gather_cols(model_axis, n_shards)(tables, idx, loc_s)
+            )
+        elif SCATTER_CELL:
+            parts.append(
+                _gather_cols_cell(NB, n_oh * NB)(tables, idx, loc_s)
+            )
         else:
             parts.append(_gather_cols(tables, idx))
     cols = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)

@@ -83,6 +83,34 @@ def test_gradient_flows_to_tables(rng):
     assert np.abs(np.asarray(g)).sum() > 0
 
 
+def test_cell_scatter_matches_brick_scatter(rng):
+    """The cell-granular backward (SCATTER_CELL: compact to the 8 nonzero
+    corner rows, scatter 8F-row cell columns, transform back) produces the
+    same table gradient as the brick-column scatter — exactly the same
+    cotangents, different accumulation route (f32 both, SCATTER_BF16 off)."""
+    tables = hash_grid.init_tables(jax.random.PRNGKey(0), CFG)
+    x = jnp.asarray(rng.uniform(0, 1, size=(64, 3)), jnp.float32)
+    co = jnp.asarray(rng.normal(size=(64, CFG.output_dim)), jnp.float32)
+
+    def grad_with(cell, bf16):
+        old = hash_grid.SCATTER_CELL, hash_grid.SCATTER_BF16
+        hash_grid.SCATTER_CELL, hash_grid.SCATTER_BF16 = cell, bf16
+        try:
+            f = lambda t: jnp.sum(hash_grid.hash_encode(t, x, CFG) * co)
+            return np.asarray(jax.grad(f)(tables))
+        finally:
+            hash_grid.SCATTER_CELL, hash_grid.SCATTER_BF16 = old
+
+    g_cell = grad_with(True, False)
+    g_brick = grad_with(False, False)
+    assert np.abs(g_brick).sum() > 0
+    np.testing.assert_allclose(g_cell, g_brick, rtol=1e-5, atol=1e-8)
+    # bf16 accumulation stays close to the f32 route on both paths
+    np.testing.assert_allclose(
+        grad_with(True, True), g_brick, rtol=0.05, atol=1e-6
+    )
+
+
 def test_gradient_wrt_positions(rng):
     tables = hash_grid.init_tables(jax.random.PRNGKey(0), CFG)
     x = jnp.asarray(rng.uniform(0.1, 0.9, size=(8, 3)), jnp.float32)
