@@ -60,6 +60,12 @@ class DroidConfig:
     # removed, reference __update + rm_keyframe, droid_slam.py:271-316,964)
     iters1: int = 4
     iters2: int = 2
+    # inactive-factor store (reference rm_factors(store=True) +
+    # update(use_inactive=True), droid_slam.py:381-391,1086-1090): edges
+    # evicted from the live set keep their last flow target/weight and
+    # stay in every frontend BA as fixed reprojection constraints while
+    # both endpoints remain in the window. 0 disables (live edges only).
+    inactive_factors: int = 48
     ba_iters: int = 2
     backend_radius: int = 2
     backend_nms: int = 3
@@ -102,6 +108,14 @@ class DROIDSLAMTracker:
         self.inps = jnp.zeros((B, self.h, self.w, net.cdim), jnp.bfloat16)
         self.hidden = jnp.zeros((E, self.h, self.w, net.cdim))
         self.e_target = jnp.zeros((E, self.h, self.w, 2))
+        self.e_weight = jnp.zeros((E, self.h, self.w, 2))
+        EI = max(config.inactive_factors, 1)
+        self.i_target = jnp.zeros((EI, self.h, self.w, 2))
+        self.i_weight = jnp.zeros((EI, self.h, self.w, 2))
+        self.i_ii = np.full(EI, -1, np.int64)
+        self.i_jj = np.full(EI, -1, np.int64)
+        self.i_valid = np.zeros(EI, bool)
+        self.i_ptr = 0
         self.eta = jnp.zeros((B, self.h, self.w))
         self.upmask = jnp.zeros((B, self.h, self.w, 576))
         self.depth_cov = jnp.ones((B, self.h, self.w))
@@ -123,7 +137,8 @@ class DROIDSLAMTracker:
         self._motion = jax.jit(self._motion_impl)
         self._update = jax.jit(
             self._update_impl,
-            donate_argnames=("poses", "disps", "hidden", "e_target"),
+            donate_argnames=("poses", "disps", "hidden", "e_target",
+                             "e_weight"),
         )
         self._upsample = jax.jit(
             lambda disps, mask: cvx_upsample(disps, mask)
@@ -210,8 +225,16 @@ class DROIDSLAMTracker:
         return jnp.mean(jnp.linalg.norm(delta, axis=-1))
 
     def _update_impl(self, params, poses, disps, intrinsics8, fmaps, inps,
-                     hidden, e_target, ii, jj, e_new, e_live, slot_map):
-        """One frontend/backend iteration over the padded edge set."""
+                     hidden, e_target, e_weight, ii, jj, e_new, e_live,
+                     slot_map, i_target, i_weight, i_ii, i_jj, i_valid):
+        """One frontend/backend iteration over the padded edge set.
+
+        The GRU runs on the LIVE edges only; the bundle adjustment also
+        sees the INACTIVE store (i_*): evicted edges whose last flow
+        target/weight persist as fixed reprojection constraints — the
+        reference's update(use_inactive=True) path (droid_slam.py:381-391),
+        active on every frontend iteration there and here.
+        """
         cfg = self.cfg
         E = ii.shape[0]
         h, w = self.h, self.w
@@ -246,10 +269,23 @@ class DROIDSLAMTracker:
         )
         target = jax.lax.stop_gradient(coords) + delta
         weight = weight * e_live[:, None, None, None]
+        e_weight = jnp.where(e_live[:, None, None, None], weight, e_weight)
+
+        if cfg.inactive_factors:
+            i_mask = i_valid[:, None, None, None]
+            ba_ii = jnp.concatenate([ii, i_ii])
+            ba_jj = jnp.concatenate([jj, i_jj])
+            ba_targets = jnp.concatenate([target, i_target])
+            ba_weights = jnp.concatenate([weight, i_weight * i_mask])
+            ba_valid = jnp.concatenate([e_live, i_valid])
+        else:
+            ba_ii, ba_jj = ii, jj
+            ba_targets, ba_weights, ba_valid = target, weight, e_live
 
         problem = dense_ba.DenseBAProblem(
-            poses=poses, disps=disps, intrinsics=intrinsics8, ii=ii, jj=jj,
-            targets=target, weights=weight, valid=e_live,
+            poses=poses, disps=disps, intrinsics=intrinsics8,
+            ii=ba_ii, jj=ba_jj,
+            targets=ba_targets, weights=ba_weights, valid=ba_valid,
         )
         if self._sharded_ba is not None:
             poses, disps, costs, depth_cov = self._sharded_ba(
@@ -264,7 +300,8 @@ class DROIDSLAMTracker:
         hidden = jnp.where(e_live[:, None, None, None], net, hidden)
         e_target = jnp.where(e_live[:, None, None, None], target, e_target)
 
-        return poses, disps, hidden, e_target, eta, upmask, costs, depth_cov
+        return (poses, disps, hidden, e_target, e_weight, eta, upmask,
+                costs, depth_cov)
 
     # ------------------------------------------------------------------
 
@@ -349,6 +386,12 @@ class DROIDSLAMTracker:
         self.colors.pop(g, None)
         self.tstamps.pop(g, None)
         self.src_index.pop(g, None)
+        # inactive factors referencing the deleted frame die with it
+        # (reference rm_keyframe, droid_slam.py:977-988)
+        for k in range(self.cfg.inactive_factors):
+            if self.i_valid[k] and g in (int(self.i_ii[k]),
+                                         int(self.i_jj[k])):
+                self.i_valid[k] = False
         self._rebuild_edges()
 
     # ------------------------------------------------------------------
@@ -409,6 +452,8 @@ class DROIDSLAMTracker:
         pairs = pairs[-cfg.max_factors:]
         old = {(int(self.e_ii[s]), int(self.e_jj[s])): s
                for s in range(cfg.max_factors) if self.e_valid[s]}
+        if cfg.inactive_factors:
+            self._store_inactive(old, pairs, set(win))
         self.e_valid[:] = False
         new_ii = np.full(cfg.max_factors, -1, np.int64)
         new_jj = np.full(cfg.max_factors, -1, np.int64)
@@ -439,6 +484,37 @@ class DROIDSLAMTracker:
         self.e_valid[: len(pairs)] = True
         self.e_fresh = new_fresh
 
+    def _store_inactive(self, old: Dict, pairs: List, winset: set) -> None:
+        """Move edges evicted from the live set into the inactive ring
+        (reference rm_factors(store=True), droid_slam.py:1086-1090): their
+        last flow target/weight persist as BA constraints. Entries whose
+        endpoints left the window, were removed, or became live again are
+        invalidated (reference rm_keyframe + __filter_repeated_edges)."""
+        cfg = self.cfg
+        EI = cfg.inactive_factors
+        pairset = set(pairs)
+        for k in range(EI):
+            if self.i_valid[k]:
+                e = (int(self.i_ii[k]), int(self.i_jj[k]))
+                if e in pairset or e[0] not in winset or e[1] not in winset:
+                    self.i_valid[k] = False
+        src, dst = [], []
+        for (a, b), s in old.items():
+            if ((a, b) in pairset or self.e_fresh[s]
+                    or a not in winset or b not in winset):
+                continue  # kept live, never updated, or out of window
+            d = self.i_ptr % EI
+            self.i_ptr += 1
+            self.i_ii[d], self.i_jj[d] = a, b
+            self.i_valid[d] = True
+            src.append(s)
+            dst.append(d)
+        if src:
+            si = jnp.asarray(src)
+            di = jnp.asarray(dst)
+            self.i_target = self.i_target.at[di].set(self.e_target[si])
+            self.i_weight = self.i_weight.at[di].set(self.e_weight[si])
+
     def _slot_map(self, free: List[int]) -> np.ndarray:
         cfg = self.cfg
         sm = np.full(cfg.buffer_size, -1, np.int32)
@@ -455,15 +531,19 @@ class DROIDSLAMTracker:
         free = [g for g in win if g > 1]
         slot_map = (self._slot_map(free) if slot_override is None
                     else slot_override)
-        (self.poses, self.disps, self.hidden, self.e_target, self.eta,
-         upmask, costs, depth_cov) = self._update(
+        (self.poses, self.disps, self.hidden, self.e_target, self.e_weight,
+         self.eta, upmask, costs, depth_cov) = self._update(
             self.params, self.poses, self.disps, self.intrinsics8,
-            self.fmaps, self.inps, self.hidden, self.e_target,
+            self.fmaps, self.inps, self.hidden, self.e_target, self.e_weight,
             jnp.asarray(np.clip(self.e_ii, 0, None).astype(np.int32)),
             jnp.asarray(np.clip(self.e_jj, 0, None).astype(np.int32)),
             jnp.asarray(self.e_fresh.copy()),
             jnp.asarray(self.e_valid.copy()),
             jnp.asarray(slot_map),
+            self.i_target, self.i_weight,
+            jnp.asarray(np.clip(self.i_ii, 0, None).astype(np.int32)),
+            jnp.asarray(np.clip(self.i_jj, 0, None).astype(np.int32)),
+            jnp.asarray(self.i_valid.copy()),
         )
         self.upmask = upmask
         # merge fresh marginal covariances into the persistent buffer

@@ -97,6 +97,42 @@ def test_droid_mesh_ba_matches_replicated(droid_net, rng):
         np.testing.assert_allclose(t0[k], t1[k], atol=5e-3)
 
 
+def test_droid_inactive_store(droid_net, rng):
+    """Edges evicted by the sliding window land in the inactive store with
+    their last flow target/weight and stay consistent: every valid entry's
+    endpoints are inside the current window, no entry duplicates a live
+    edge, and entries die with removed keyframes (reference
+    rm_factors(store=True) + update(use_inactive=True))."""
+    net, params = droid_net
+    tr = DROIDSLAMTracker(TINY, net, params, H, W)
+    stored_ever = False
+    for i in range(9):
+        tr.track(i * 0.1, _frame(rng, i), INTR, frame_index=i)
+        stored_ever = stored_ever or tr.i_valid.any()
+        win = set(tr.alive[-TINY.frontend_window:])
+        live = {(int(tr.e_ii[s]), int(tr.e_jj[s]))
+                for s in range(TINY.max_factors) if tr.e_valid[s]}
+        for k in range(TINY.inactive_factors):
+            if tr.i_valid[k]:
+                e = (int(tr.i_ii[k]), int(tr.i_jj[k]))
+                assert e[0] in win and e[1] in win
+                assert e not in live
+    assert stored_ever  # window slid 4 times; drops must have occurred
+    # stored weights are the frozen GRU weights: nonnegative, finite
+    w = np.asarray(tr.i_weight)[np.asarray(tr.i_valid, bool)]
+    if w.size:
+        assert np.isfinite(w).all() and (w >= 0).all()
+    # disabling the store reproduces a BA over live edges only
+    import dataclasses
+
+    cfg0 = dataclasses.replace(TINY, inactive_factors=0)
+    tr0 = DROIDSLAMTracker(cfg0, net, params, H, W)
+    for i in range(6):
+        tr0.track(i * 0.1, _frame(rng, i), INTR, frame_index=i)
+    for m in tr0.trajectory().values():
+        assert np.isfinite(m).all()
+
+
 def test_droid_motion_filter(droid_net, rng):
     import dataclasses
 
