@@ -11,6 +11,9 @@ ratio against the 1M rays/s north-star target for one TPU v5e chip.
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import jax
@@ -18,10 +21,37 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _probe_backend(timeout_s: float = 120.0) -> bool:
+    """The tunneled TPU backend has full outages where even a tiny matmul
+    blocks forever at 0% CPU (no error). Probe it in a subprocess with a
+    hard timeout so an outage yields a diagnosable JSON line instead of a
+    hung bench."""
+    try:
+        subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; "
+             "x = jnp.ones((128, 128)); print(float(jnp.sum(x @ x)))"],
+            timeout=timeout_s, check=True,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        return True
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+        return False
+
+
 def main():
     from nerf_vo_tpu.utils.jax_setup import setup_jax
 
     setup_jax()
+    if not _probe_backend():
+        print(json.dumps({
+            "metric": "mapping_train_rays_per_sec", "value": 0.0,
+            "unit": "rays/s", "vs_baseline": 0.0,
+            "error": "backend unresponsive: 128x128 matmul did not "
+                     "complete within 120s (TPU tunnel outage)",
+        }))
+        return
     from nerf_vo_tpu.mapping import keyframe_buffer as kb
     from nerf_vo_tpu.mapping.trainer import MappingTrainer, TrainerConfig
     from nerf_vo_tpu.models.nerfacto import NerfactoConfig, NerfactoModel
