@@ -7,8 +7,11 @@ parts that need no trained weights:
     just a NaN;
   * depth accuracy of the converged field against the analytic scene.
 Thresholds carry a wide margin over observed values so only real
-regressions trip them (observed: ~24 dB PSNR, ~0.16 median relative depth
-error at this shrunken CPU configuration; random init sits at ~8 dB / ~2.0).
+regressions trip them (observed: ~25-27 dB PSNR at 100 steps, ~0.16 median
+relative depth error at 160 steps at this shrunken CPU configuration;
+random init sits at ~8 dB / ~2.0). Depth converges LATE (0.52 at step 128,
+0.16 at 160 — measured 2026-08-18), so its gate rides a continuation
+fixture in the slow tier; the PSNR gate stays fast-tier at 100 steps.
 """
 
 import jax
@@ -86,26 +89,37 @@ def fitted():
     )
     state = trainer.init(jax.random.PRNGKey(0))
     key = jax.random.PRNGKey(1)
-    for _ in range(160):
+    for _ in range(100):
+        key, sub = jax.random.split(key)
+        state, m = trainer.train_step(state, buf, sub)
+    return trainer, state, buf, colors, depths, key
+
+
+@pytest.fixture(scope="module")
+def fitted_full(fitted):
+    """Continue the shared fit to 160 steps (depth convergence needs them)."""
+    trainer, state, buf, colors, depths, key = fitted
+    for _ in range(60):
         key, sub = jax.random.split(key)
         state, m = trainer.train_step(state, buf, sub)
     return trainer, state, buf, colors, depths
 
 
 def test_mapping_psnr_gate(fitted):
-    trainer, state, buf, colors, depths = fitted
+    trainer, state, buf, colors, depths, _ = fitted
     out = trainer.render_image(
         state, buf.c2w[0], buf.intrinsics[0], H, W
     )
     rgb = np.asarray(out["rgb"])
     mse = float(np.mean((rgb - colors[0]) ** 2))
     psnr = -10.0 * np.log10(max(mse, 1e-10))
-    # observed ~24 dB at this config; gate far above random init (~8 dB)
+    # observed ~25-27 dB at 100 steps; gate far above random init (~8 dB)
     assert psnr > 16.0, f"mapping PSNR regressed: {psnr:.2f} dB"
 
 
-def test_mapping_depth_gate(fitted):
-    trainer, state, buf, colors, depths = fitted
+@pytest.mark.slow
+def test_mapping_depth_gate(fitted_full):
+    trainer, state, buf, colors, depths = fitted_full
     out = trainer.render_image(
         state, buf.c2w[0], buf.intrinsics[0], H, W
     )
