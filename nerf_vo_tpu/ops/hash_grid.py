@@ -167,6 +167,14 @@ SCATTER_BF16 = True
 # win; flip off if a per-descriptor floor dominates there.
 SCATTER_CELL = True
 
+# Route the cell-granular backward through the Pallas sorted-segment-sum
+# kernel (ops/scatter_pallas.py) instead of the XLA scatter emitter: sort
+# by cell id + per-tile one-hot MXU accumulation, zero scatters, exact f32
+# accumulation of the bf16 payload. Gated on the hardware measurement
+# (scripts/exp_scatter4.py) — wins iff sort+permute+matmul beats the
+# emitter's byte rate at 64-row columns.
+SCATTER_PALLAS = False
+
 
 def _cell_incidence():
     """[27, 8, 8] 0/1 tensor: brick entry e receives cell-corner q of the
@@ -210,16 +218,33 @@ def _scatter_cells(g, idx, loc, shape, n_bricks, base_col):
     gc = _compact_to_cell(g, loc, F).astype(acc)
     p = (loc[0] * 2 + loc[1]) * 2 + loc[2]
     R = _cell_incidence()
-    parts = []
-    for l in range(Ls):
-        sl = slice(l * N, (l + 1) * N)
-        cid = (idx[sl] - (base_col + l * n_bricks)) * 8 + p[sl]
-        cell = jnp.zeros((8 * F, 8 * n_bricks), acc).at[:, cid].add(gc[:, sl])
-        cellr = cell.astype(jnp.float32).reshape(8, F, n_bricks, 8)
-        parts.append(
-            jnp.einsum("qfcp,epq->efc", cellr, R).reshape(_BRICK * F, n_bricks)
+    if SCATTER_PALLAS:
+        from nerf_vo_tpu.ops.scatter_pallas import sorted_segment_sum
+
+        cid = (idx - base_col) * 8 + p  # global cell id over the span
+        cell = sorted_segment_sum(
+            gc.astype(jnp.bfloat16), cid, Ls * n_bricks * 8,
+            interpret=jax.default_backend() != "tpu",
         )
-    grad_s = parts[0] if Ls == 1 else jnp.concatenate(parts, axis=1)
+        cellr = cell.reshape(8, F, Ls, n_bricks, 8)
+        grad_s = jnp.einsum("qflbp,epq->eflb", cellr, R).reshape(
+            _BRICK * F, Ls * n_bricks
+        )
+    else:
+        parts = []
+        for l in range(Ls):
+            sl = slice(l * N, (l + 1) * N)
+            cid = (idx[sl] - (base_col + l * n_bricks)) * 8 + p[sl]
+            cell = jnp.zeros((8 * F, 8 * n_bricks), acc).at[:, cid].add(
+                gc[:, sl]
+            )
+            cellr = cell.astype(jnp.float32).reshape(8, F, n_bricks, 8)
+            parts.append(
+                jnp.einsum("qfcp,epq->efc", cellr, R).reshape(
+                    _BRICK * F, n_bricks
+                )
+            )
+        grad_s = parts[0] if Ls == 1 else jnp.concatenate(parts, axis=1)
     grad_s = jnp.concatenate(
         [grad_s, jnp.zeros((rows - _BRICK * F, grad_s.shape[1]), jnp.float32)],
         axis=0,
