@@ -25,6 +25,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the env's sitecustomize force-selects the axon backend; honor the
+    # shell override (CPU smoke mode)
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -62,10 +68,11 @@ def _transform_tensor():
 
 def main():
     rng = np.random.default_rng(0)
-    L, NB = 2, 16384
+    small = bool(int(os.environ.get("EXP_SMALL", "0")))  # CPU smoke mode
+    L, NB = 2, (512 if small else 16384)
     F = 8
     rows = 32 * F
-    N = 4096 * 48 * L
+    N = (4096 if small else 4096 * 48) * L
     C = L * NB
     idx = jnp.asarray(rng.integers(0, C, N), jnp.int32)
     loc = jnp.asarray(rng.integers(0, 2, (3, N)), jnp.int32)  # base-corner bits
@@ -135,6 +142,46 @@ def main():
         jnp.max(jnp.abs(got - want)) / (jnp.max(jnp.abs(want)) + 1e-30)
     )
     print(f"pipeline vs brick-scatter max rel err: {errn:.2e}")
+
+    # Pallas zero-scatter route: sort + per-tile one-hot MXU segment sum
+    # (ops/scatter_pallas.py), then the same constant transform
+    from nerf_vo_tpu.ops.scatter_pallas import sorted_segment_sum
+
+    def pallas_pipeline(gg, i, lc):
+        t = gg[: 27 * F].reshape(3, 3, 3, F, N)
+        lx, ly, lz = lc[0], lc[1], lc[2]
+        t = jnp.where(lx[None, None, None, None], t[1:3], t[0:2])
+        t = jnp.where(ly[None, None, None, None], t[:, 1:3], t[:, 0:2])
+        t = jnp.where(lz[None, None, None, None], t[:, :, 1:3], t[:, :, 0:2])
+        gc2 = t.reshape(8 * F, N)
+        pp = (lx * 2 + ly) * 2 + lz
+        cid = i * 8 + pp.astype(jnp.int32)
+        cell = sorted_segment_sum(
+            gc2, cid, 8 * C, interpret=jax.default_backend() != "tpu"
+        )
+        cellr = cell.reshape(8, F, C, 8)
+        return jnp.einsum("qfcp,epq->efc", cellr, R).reshape(27 * F, C)
+
+    lci = loc.astype(bool)
+    got2 = timeit(
+        "compact + PALLAS segsum + transform",
+        lambda: jax.jit(pallas_pipeline)(g16, idx, lci),
+        N,
+    )
+    errn2 = float(
+        jnp.max(jnp.abs(got2 - want)) / (jnp.max(jnp.abs(want)) + 1e-30)
+    )
+    print(f"pallas vs brick-scatter max rel err: {errn2:.2e}")
+
+    # stage costs for the pallas route
+    sortperm = jax.jit(
+        lambda gg, i: jnp.take(
+            gg, jax.lax.sort_key_val(i, jnp.arange(N, dtype=jnp.int32))[1],
+            axis=1
+        ).T
+    )
+    timeit("  sort + permute-take bf16 (stage)",
+           lambda: sortperm(g16[:64], idx), N)
 
 
 if __name__ == "__main__":
