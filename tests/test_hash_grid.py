@@ -111,6 +111,76 @@ def test_cell_scatter_matches_brick_scatter(rng):
     )
 
 
+def test_tp_compact_branch_matches_replicated(rng):
+    """The tensor-parallel backward's COMPACTED scatter arm (taken when a
+    shard owns fewer descriptors than the argsort cap — needs a batch big
+    enough that cap < n) produces the same table gradient as the
+    replicated single-chip path, for both live routes (cell on/off)."""
+    import jax.sharding as jsh
+
+    shard_map = jax.shard_map
+
+    n_dev = len(jax.devices())
+    if n_dev < 2:
+        import pytest
+
+        pytest.skip("needs >= 2 devices")
+    cfg = CFG
+    NB = cfg.bricks_per_level
+    tables = hash_grid.init_tables(jax.random.PRNGKey(0), cfg)
+    # n must exceed cap = ceil(1.5 * n / shards / 128) * 128 -> n >= ~2048
+    x = jnp.asarray(rng.uniform(0, 1, size=(4096, 3)), jnp.float32)
+    co = jnp.asarray(rng.normal(size=(4096, cfg.output_dim)), jnp.float32)
+
+    mesh = jsh.Mesh(np.array(jax.devices()[:2]), ("model",))
+    cols = tables.shape[1]
+
+    def tp_grad(cell):
+        old = hash_grid.SCATTER_CELL, hash_grid.SCATTER_BF16
+        hash_grid.SCATTER_CELL, hash_grid.SCATTER_BF16 = cell, False
+        try:
+            def local(tl):
+                f = lambda t: jnp.sum(
+                    hash_grid.hash_encode(t, x, cfg, model_axis="model") * co
+                )
+                return jax.grad(f)(tl)
+
+            g = shard_map(
+                local, mesh=mesh,
+                in_specs=jsh.PartitionSpec(None, "model"),
+                out_specs=jsh.PartitionSpec(None, "model"),
+            )(tables)
+            return np.asarray(g)
+        finally:
+            hash_grid.SCATTER_CELL, hash_grid.SCATTER_BF16 = old
+
+    def ref_grad(cell):
+        old = hash_grid.SCATTER_CELL, hash_grid.SCATTER_BF16
+        hash_grid.SCATTER_CELL, hash_grid.SCATTER_BF16 = cell, False
+        try:
+            f = lambda t: jnp.sum(hash_grid.hash_encode(t, x, cfg) * co)
+            return np.asarray(jax.grad(f)(tables))
+        finally:
+            hash_grid.SCATTER_CELL, hash_grid.SCATTER_BF16 = old
+
+    # the compact cond arm must actually be live at this size
+    cap = min(-(-int(4096 * (cfg.n_levels - 1)
+                     * hash_grid._TP_BWD_SLACK / 2) // 128) * 128,
+              4096 * (cfg.n_levels - 1))
+    assert cap < 4096 * (cfg.n_levels - 1)
+
+    for cell in (True, False):
+        got = tp_grad(cell)
+        want = ref_grad(cell)
+        assert np.abs(want).sum() > 0
+        # f32 accumulation both routes: only reduction-order noise remains;
+        # a compaction/ownership bug shows up at order-1 magnitude
+        np.testing.assert_allclose(
+            got, want, rtol=1e-4, atol=1e-5,
+            err_msg=f"cell={cell}",
+        )
+
+
 def test_gradient_wrt_positions(rng):
     tables = hash_grid.init_tables(jax.random.PRNGKey(0), CFG)
     x = jnp.asarray(rng.uniform(0.1, 0.9, size=(8, 3)), jnp.float32)
