@@ -51,6 +51,52 @@ def make_mesh_2d(n_data: int, n_model: int,
     )
 
 
+def initialize_distributed(**kwargs) -> None:
+    """Multi-host (pod / multi-slice) init: call once per host before any
+    backend use. Thin wrapper over jax.distributed.initialize so run
+    scripts never import jax.distributed directly; on a single host it is
+    a documented no-op (initialize() requires cluster env vars)."""
+    import os
+
+    if "JAX_COORDINATOR_ADDRESS" in os.environ or kwargs:
+        jax.distributed.initialize(**kwargs)
+
+
+def make_pod_mesh(n_data: Optional[int] = None, n_model: int = 1,
+                  axes: Tuple[str, str] = ("data", "model")) -> Mesh:
+    """Pod-scale 2D mesh with collective-locality-aware axis placement.
+
+    The MODEL axis carries one feature psum per hash-grid encode (several
+    per train step), so it must ride ICI: it is placed within a slice
+    (innermost). The DATA axis carries exactly one gradient pmean per
+    step — DCN-tolerant — so it spans slices/hosts (outermost). On one
+    host/slice this degrades to make_mesh_2d's layout; with multiple
+    slices it uses mesh_utils.create_hybrid_device_mesh, which keeps each
+    slice's devices contiguous on the inner axes.
+    """
+    from jax.experimental import mesh_utils
+
+    devs = jax.devices()
+    total = len(devs)
+    if n_data is None:
+        assert total % n_model == 0, (total, n_model)
+        n_data = total // n_model
+    n_slices = len({getattr(d, "slice_index", 0) for d in devs})
+    if n_slices > 1:
+        per_slice = total // n_slices
+        assert n_model <= per_slice and per_slice % n_model == 0, (
+            f"model axis ({n_model}) must fit inside one slice "
+            f"({per_slice} devices) — its psum rides ICI"
+        )
+        mesh_devs = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(n_data // n_slices, n_model),
+            dcn_mesh_shape=(n_slices, 1),
+            devices=devs,
+        )
+        return Mesh(mesh_devs, axes)
+    return make_mesh_2d(n_data, n_model, axes)
+
+
 def replicate(tree, mesh: Mesh):
     sharding = NamedSharding(mesh, P())
     return jax.device_put(tree, sharding)

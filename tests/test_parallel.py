@@ -87,6 +87,19 @@ def test_tp_matches_dp():
     )
 
 
+def test_pod_mesh_single_slice_degrades_to_2d():
+    """make_pod_mesh on a single host/slice builds the same data x model
+    layout as make_mesh_2d, and a TP train step runs on it."""
+    from nerf_vo_tpu.parallel import sharding
+
+    sharding.initialize_distributed()  # single-host no-op
+    mesh = sharding.make_pod_mesh(n_model=2)
+    assert mesh.axis_names == ("data", "model")
+    assert mesh.devices.shape == (len(jax.devices()) // 2, 2)
+    ref = sharding.make_mesh_2d(len(jax.devices()) // 2, 2)
+    assert (mesh.devices == ref.devices).all()
+
+
 def test_tp_matches_dp_with_onehot_level():
     """Same DP(4)==DP(4)xTP(2) invariant with a table large enough that the
     coarse level rides the one-hot MXU path (psum-replicated slab under TP,
