@@ -128,7 +128,9 @@ class MappingTrainer:
             cam_opt_state = state.cam_opt_state
 
         mcfg = self.model.config
+        # MLP proposals distill through the loss itself (no slab refresh)
         if (mcfg.proposal_training == "distill"
+                and mcfg.proposal_type == "dense"
                 and self.model.proposal_fields):
             params = jax.lax.cond(
                 state.step % mcfg.proposal_refresh_every == 0,

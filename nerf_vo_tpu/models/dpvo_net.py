@@ -173,7 +173,7 @@ class UpdateNet(nn.Module):
 
     @nn.compact
     def __call__(self, net, imap, corr, kk, pair, ix, jx, live,
-                 num_patches: int, num_pairs: int):
+                 num_patches: int, num_pairs: int, stop_after: int = 0):
         """
         Args:
           net: [E, D] hidden state per edge.
@@ -186,9 +186,14 @@ class UpdateNet(nn.Module):
           ix, jx: [E] edge-slot index of the same patch's edge to the
             previous / next target frame, or -1 when absent.
           live: [E] bool edge liveness.
+          stop_after: dev-only profiling cut (scripts/exp_vo_cut.py):
+            1 = corr MLP, 2 = neighbor mixing, 3 = soft aggregation,
+            4 = GRU blocks; 0 = full. Early returns carry zero
+            delta/weight so downstream ops dead-code-eliminate.
 
         Returns: (net', delta [E, 2], weight [E, 2])
         """
+        z2 = jnp.zeros(net.shape[:1] + (2,), net.dtype)
         c = nn.relu(nn.Dense(self.dim, name="corr0")(corr))
         c = nn.Dense(self.dim, name="corr2")(c)
         c = nn.relu(nn.LayerNorm(epsilon=1e-3, name="corr3")(c))
@@ -196,6 +201,8 @@ class UpdateNet(nn.Module):
 
         net = net + imap + c
         net = nn.LayerNorm(epsilon=1e-3, name="norm")(net)
+        if stop_after == 1:
+            return net, z2, z2
 
         # temporal neighbor mixing: same patch, target frame -1 / +1.
         # Missing neighbor -> zero input (the MLP bias still contributes —
@@ -208,6 +215,8 @@ class UpdateNet(nn.Module):
             (jx >= 0)[:, None], net[jnp.clip(jx, 0)], 0.0
         )
         net = net + MLP2(self.dim, name="c2")(nxt)
+        if stop_after == 2:
+            return net, z2, z2
 
         net = net + SoftAgg(self.dim, name="agg_kk")(
             net, kk, num_patches + 1
@@ -215,11 +224,15 @@ class UpdateNet(nn.Module):
         net = net + SoftAgg(self.dim, name="agg_ij")(
             net, pair, num_pairs + 1
         )
+        if stop_after == 3:
+            return net, z2, z2
 
         net = nn.LayerNorm(epsilon=1e-3, name="gru0")(net)
         net = GatedResidual(self.dim, name="gru1")(net)
         net = nn.LayerNorm(epsilon=1e-3, name="gru2")(net)
         net = GatedResidual(self.dim, name="gru3")(net)
+        if stop_after == 4:
+            return net, z2, z2
 
         delta = nn.Dense(2, name="d1")(nn.relu(net))
         weight = nn.sigmoid(nn.Dense(2, name="w1")(nn.relu(net)))
@@ -251,9 +264,9 @@ class DPVONet(nn.Module):
         return fmap1, avg_pool2(fmap1), imap
 
     def update_step(self, net, imap, corr, kk, pair, ix, jx, live,
-                    num_patches, num_pairs):
+                    num_patches, num_pairs, stop_after=0):
         return self.update(net, imap, corr, kk, pair, ix, jx, live,
-                           num_patches, num_pairs)
+                           num_patches, num_pairs, stop_after)
 
     def __call__(self, images, net, imap_e, corr, kk, pair, ix, jx, live):
         """Joint forward for init only."""

@@ -90,6 +90,73 @@ class ProposalDensityField(nn.Module):
         return trunc_exp(h[..., 0] - 1.0)
 
 
+class MLPProposalField(nn.Module):
+    """Fourier-feature MLP proposal density — ZERO gather/scatter descriptors.
+
+    Third proposal-field design point (after ``ProposalDensityField``'s
+    hash+MLP and ``DenseProposalField``'s 1-descriptor dense grid), motivated
+    by the measured TPU cost model: every grid formulation pays a hard
+    per-descriptor floor (~4-5 ns gather fwd, ~17-26 ns scatter bwd,
+    scripts/exp_gather.py / exp_scatter2.py), and at the production budget
+    (4096 rays x 192 proposal samples) the dense-grid proposals' gathers
+    alone are ~3.5 ms/step — a third of the whole train step. A
+    positional-encoding MLP moves the entire proposal evaluation onto the
+    MXU: ~20 KFLOP/sample = ~0.1 ms for the same batch, with no backward
+    scatter ever. Capacity is far below a res-128 grid, but proposal fields
+    only gate sample placement (the final field does the rendering), and the
+    MLP trains online by direct density distillation from the field
+    (NerfactoModel.loss, proposal_training == "distill") — the same
+    capability argument as the dense-grid distillation, quality-gated on the
+    synthetic posed-keyframe fit (scripts/exp_distill.py).
+
+    Fulfils the nerfstudio ``HashMLPDensityField`` role (reference N7,
+    nerf_vo/mapping/nerfstudio.py:47-103).
+    """
+
+    n_freqs: int = 6
+    hidden: int = 64
+    depth: int = 2
+    model_axis: Optional[str] = None  # unused: params replicate under TP
+    model_axis_size: int = 1
+    use_contraction: bool = True
+    aabb_min: float = -1.0
+    aabb_max: float = 1.0
+
+    def _to_unit(self, positions):
+        if self.use_contraction:
+            return hash_grid.contract_to_unit_cube(positions)
+        return hash_grid.normalize_to_unit_cube(
+            positions, self.aabb_min, self.aabb_max
+        )
+
+    @nn.compact
+    def _mlp(self, x):
+        return MLP(hidden=self.hidden, depth=self.depth, out_dim=1)(x)
+
+    def _encode(self, unit):
+        # NeRF positional encoding on [-1, 1]^3: [x, sin/cos(2^k pi x)]
+        x = unit * 2.0 - 1.0
+        k = 2.0 ** jnp.arange(self.n_freqs, dtype=jnp.float32) * jnp.pi
+        ang = x[..., None] * k  # [..., 3, n_freqs]
+        enc = jnp.concatenate(
+            [jnp.sin(ang), jnp.cos(ang)], axis=-1
+        ).reshape(x.shape[:-1] + (3 * 2 * self.n_freqs,))
+        return jnp.concatenate([x, enc], axis=-1)
+
+    def logit_unit(self, unit_positions):
+        """Density logit at unit-cube coords (pre ``- 1`` shift): the
+        distillation target space — logit - 1 approximates log(density)."""
+        return self._mlp(self._encode(unit_positions))[..., 0]
+
+    def logit(self, positions):
+        """Density logit at world coords (distill-loss prediction path)."""
+        return self.logit_unit(self._to_unit(positions))
+
+    def __call__(self, positions):
+        """positions [..., 3] world-frame -> density [...]."""
+        return trunc_exp(self.logit(positions) - 1.0)
+
+
 class DenseProposalField(nn.Module):
     """Dense voxel density grid -> density (TPU-native proposal field).
 

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from nerf_vo_tpu.models.nerf_field import (
     DenseProposalField,
     HashGridConfig,
+    MLPProposalField,
     NerfactoField,
     ProposalDensityField,
 )
@@ -86,9 +87,15 @@ class NerfactoConfig:
     grid_features_per_level: int = 8
     # proposal fields: "dense" = single-level dense voxel density bricks
     # (1 descriptor/sample, no MLP — DenseProposalField); "hash" = 5-level
-    # hash grid + MLP mirroring nerfstudio's HashMLPDensityField.
+    # hash grid + MLP mirroring nerfstudio's HashMLPDensityField; "mlp" =
+    # fourier-feature MLP (ZERO descriptors, pure MXU — MLPProposalField),
+    # trained by in-step density distillation (requires
+    # proposal_training == "distill").
     proposal_type: str = "dense"
     proposal_resolutions: Tuple[int, ...] = (128, 160)
+    # per-level fourier frequency counts for proposal_type == "mlp"
+    # (coarse level fewer frequencies, like coarse grid resolution)
+    proposal_mlp_freqs: Tuple[int, ...] = (4, 6)
     # proposal TRAINING mechanism:
     #   "interlevel" — nerfacto semantics: proposals learn through the
     #     interlevel histogram loss (their only gradient path). On TPU that
@@ -104,6 +111,18 @@ class NerfactoConfig:
     proposal_training: str = "distill"
     proposal_refresh_every: int = 16
     proposal_refresh_bricks: int = 8192  # bricks re-evaluated per refresh
+    # MLP-proposal distillation (proposal_type == "mlp"): the distill loss
+    # matches each proposal MLP's logit to log(field density), stop-gradient,
+    # at (a) the final field samples already evaluated this step (free,
+    # naturally importance-weighted) and (b) this many uniform unit-cube
+    # coverage points (teaches emptiness outside the sampled envelope —
+    # the role the rotating brick slab plays for dense grids).
+    proposal_distill_points: int = 4096
+    proposal_distill_loss_mult: float = 1.0
+    # log-density clamp for the distill target: proposals only gate sample
+    # placement, so ~e^20 of dynamic range is plenty and keeps the MLP
+    # regression well-conditioned
+    proposal_distill_clip: float = 10.0
     # mesh axis name for tensor-parallel (column-sharded) hash tables; set
     # only when the train step runs inside a shard_map over that axis
     # (parallel/sharding.py make_dp_tp_train_step). None = replicated.
@@ -132,6 +151,15 @@ class NerfactoModel:
             self.proposal_fields = [
                 DenseProposalField(resolution=r, **common)
                 for r in config.proposal_resolutions
+            ][: len(config.num_proposal_samples)]
+        elif config.proposal_type == "mlp":
+            assert config.proposal_training == "distill", (
+                "MLP proposals have no interlevel gradient path; they train "
+                "by density distillation (proposal_training='distill')"
+            )
+            self.proposal_fields = [
+                MLPProposalField(n_freqs=f, **common)
+                for f in config.proposal_mlp_freqs
             ][: len(config.num_proposal_samples)]
         else:
             self.proposal_fields = [
@@ -320,6 +348,12 @@ class NerfactoModel:
             "deltas": deltas,
             "sample_weights": weights,
         }
+        if (train and cfg.proposal_type == "mlp"
+                and cfg.proposal_training == "distill"):
+            # free distillation targets for the MLP proposals: the field's
+            # density at this step's final samples (see loss())
+            out["sample_positions"] = pos
+            out["sample_density"] = density
         if cfg.predict_normals:
             pred_n = self.field.apply(field_params, geo, method=self.field.normals)
             out["normals"] = R.composite(weights, pred_n)
@@ -391,6 +425,39 @@ class NerfactoModel:
                 inter = inter + R.interlevel_loss(pe, pw, final_edges, final_w)
             metrics["interlevel_loss"] = inter
             loss = loss + cfg.interlevel_loss_mult * inter
+
+        if (cfg.proposal_training == "distill" and cfg.proposal_type == "mlp"
+                and self.proposal_fields):
+            # MLP-proposal distillation: regress each proposal MLP's logit
+            # onto log(field density), stop-gradient — the online analog of
+            # the dense-grid slab refresh (refresh_proposals), riding the
+            # SAME optimizer step. Targets: (a) the final samples already
+            # evaluated (free, importance-weighted by the sampler itself —
+            # corrects stale proposal mass because empty regions the
+            # proposal wrongly favors keep getting sampled and re-labeled),
+            # (b) uniform unit-cube coverage points (teaches structure
+            # outside the current sampling envelope; field eval there is
+            # forward-only — ~2 descriptors/point, no backward).
+            c = cfg.proposal_distill_clip
+            pts = jax.lax.stop_gradient(out["sample_positions"])
+            tgt = jnp.clip(jnp.log(jnp.clip(jax.lax.stop_gradient(
+                out["sample_density"]), 1e-30)), -c, c)
+            kd = jax.random.fold_in(key, 7)
+            up = jax.random.uniform(kd, (cfg.proposal_distill_points, 3))
+            dens_u = jax.lax.stop_gradient(self.field.apply(
+                {"params": params["field"]}, up,
+                method=self.field.density_unit))
+            tgt_u = jnp.clip(jnp.log(jnp.clip(dens_u, 1e-30)), -c, c)
+            dloss = 0.0
+            for i, pf in enumerate(self.proposal_fields):
+                pv = {"params": params[f"proposal_{i}"]}
+                ls = pf.apply(pv, pts, method="logit") - 1.0
+                lu = pf.apply(pv, up, method="logit_unit") - 1.0
+                dloss = (dloss
+                         + jnp.mean(jnp.square(ls - tgt))
+                         + jnp.mean(jnp.square(lu - tgt_u)))
+            metrics["proposal_distill_loss"] = dloss
+            loss = loss + cfg.proposal_distill_loss_mult * dloss
 
         if cfg.distortion_loss_mult > 0:
             dist = R.distortion_loss(final_edges, final_w)

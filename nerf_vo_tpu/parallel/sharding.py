@@ -217,7 +217,9 @@ def make_dp_train_step(trainer: MappingTrainer, mesh: Mesh, axis: str = "data"):
             pose_deltas = state.pose_deltas
             cam_opt_state = state.cam_opt_state
         mcfg = trainer.model.config
+        # MLP proposals distill through the loss itself (no slab refresh)
         if (mcfg.proposal_training == "distill"
+                and mcfg.proposal_type == "dense"
                 and trainer.model.proposal_fields):
             # replicated refresh: deterministic slab -> identical tables
             params = jax.lax.cond(
@@ -378,7 +380,9 @@ def make_dp_tp_train_step(trainer: MappingTrainer, mesh: Mesh,
                 pose_deltas = state.pose_deltas
                 cam_opt_state = state.cam_opt_state
             mcfg = tp_model.config
+            # MLP proposals distill through the loss itself (no slab refresh)
             if (mcfg.proposal_training == "distill"
+                    and mcfg.proposal_type == "dense"
                     and tp_model.proposal_fields):
                 # refresh through the TP model view (column-sharded field
                 # tables feed density_unit); proposal tables are themselves

@@ -291,6 +291,28 @@ class MappingStage:
             # proposal networks (reference pyngp Testbed, SURVEY N5)
             sampler="occupancy" if ngp else "proposal",
         )
+        # YAML escape hatch for mapper internals the reference hardcodes in
+        # its nerfstudio TrainerConfig tree (reference nerfstudio.py:47-103):
+        # any `mapping_model_overrides:` mapping in the config is applied
+        # field-for-field onto NerfactoConfig (e.g. proposal_type: mlp,
+        # grad_normal_mode: surface) — tuples in dataclass fields accept
+        # YAML lists.
+        overrides = getattr(args, "mapping_model_overrides", None)
+        if overrides:
+            import dataclasses as _dc
+
+            fields = {f.name: f for f in _dc.fields(NerfactoConfig)}
+            clean = {}
+            for k, v in dict(overrides).items():
+                if k not in fields:
+                    raise ValueError(
+                        f"unknown NerfactoConfig field in "
+                        f"mapping_model_overrides: {k!r}"
+                    )
+                if isinstance(v, list):
+                    v = tuple(v)
+                clean[k] = v
+            model_cfg = _dc.replace(model_cfg, **clean)
         self.model = NerfactoModel(model_cfg)
         self.trainer = MappingTrainer(
             self.model,

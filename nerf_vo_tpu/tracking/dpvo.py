@@ -372,11 +372,18 @@ class DPVOTracker:
         )
 
         im_e = imap[jnp.clip(e_host_ring, 0, R - 1), kk % P].astype(jnp.float32)
+        # profile_cut 11-14: stop INSIDE the update net (corr MLP /
+        # neighbor mixing / soft agg / GRU — see UpdateNet stop_after)
+        net_stop = profile_cut - 10 if 11 <= profile_cut <= 14 else 0
         h, delta, weight = self.net.apply(
             params, h, im_e, corr, kk_g, pair_g, ix, jx, e_live,
-            KL, LIFE * R,
+            KL, LIFE * R, net_stop,
             method=self.net.update_step,
         )
+        if net_stop:
+            z = jnp.sum(h)
+            return (poses + z * 0, pt_invd, hidden, e_target,
+                    jnp.zeros((ba_iters,)), z)
         target = jax.lax.stop_gradient(center) + delta
         weight = weight * e_live[:, None]
 

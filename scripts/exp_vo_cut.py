@@ -54,6 +54,10 @@ def main():
     )
 
     for cut, label in [(1, "through correlation"),
+                       (11, "  + corr MLP"),
+                       (12, "  + neighbor mixing"),
+                       (13, "  + soft aggregation"),
+                       (14, "  + GRU blocks"),
                        (2, "through update net"),
                        (3, "through BA"),
                        (0, "full")]:
