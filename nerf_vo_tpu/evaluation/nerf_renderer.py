@@ -27,13 +27,21 @@ from nerf_vo_tpu.core import conventions, lie
 
 
 class MapRenderer:
-    def __init__(self, mapping_stage):
+    def __init__(self, mapping_stage, mesh=None):
+        """``mesh``: optional jax.sharding.Mesh — eval renders then shard
+        their rays data-parallel over it (parallel/sharding.py
+        make_dp_render_chunk); None = single device."""
         self.mapping = mapping_stage
         self.trainer = mapping_stage.trainer
         self.state = mapping_stage.state
         self.buffer = mapping_stage.buffer
         self._norm = np.asarray(self.buffer.normalization)
         self._norm_inv = np.linalg.inv(self._norm)
+        self._chunk_fn = None
+        if mesh is not None:
+            from nerf_vo_tpu.parallel.sharding import make_dp_render_chunk
+
+            self._chunk_fn = make_dp_render_chunk(self.trainer, mesh)
 
     # -- pose plumbing ---------------------------------------------------
 
@@ -66,7 +74,8 @@ class MapRenderer:
              camera_intrinsics["cx"], camera_intrinsics["cy"]], jnp.float32,
         )
         out = self.trainer.render_image(
-            self.state, jnp.asarray(c2w_gl, jnp.float32), intr, H, W
+            self.state, jnp.asarray(c2w_gl, jnp.float32), intr, H, W,
+            chunk_fn=self._chunk_fn,
         )
         return out
 

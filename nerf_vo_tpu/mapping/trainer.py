@@ -178,9 +178,15 @@ class MappingTrainer:
         return conventions.apply_transform(delta, buffer.c2w)
 
     def render_image(self, state: TrainState, c2w, intrinsics, height: int,
-                     width: int, chunk: int = 1 << 14) -> Dict[str, jnp.ndarray]:
+                     width: int, chunk: int = 1 << 14,
+                     chunk_fn=None) -> Dict[str, jnp.ndarray]:
         """Full-frame render in fixed-size ray chunks (eval path,
-        reference nerfstudio get_outputs_for_camera_ray_bundle [upstream])."""
+        reference nerfstudio get_outputs_for_camera_ray_bundle [upstream]).
+
+        ``chunk_fn`` overrides the single-device chunk renderer — pass
+        :func:`parallel.sharding.make_dp_render_chunk`'s result to shard
+        each chunk's rays over a device mesh (eval-side data parallelism).
+        """
         from nerf_vo_tpu.core import cameras
 
         ys, xs = jnp.meshgrid(
@@ -194,9 +200,10 @@ class MappingTrainer:
         xy = jnp.pad(xy, ((0, pad), (0, 0)))
         o, d, dn = cameras.generate_rays(c2w, intrinsics, xy, "opengl")
 
+        render = chunk_fn if chunk_fn is not None else self._render_chunk
         outs = []
         for i in range(0, n + pad, chunk):
-            r = self._render_chunk(
+            r = render(
                 state.params, state.occ_grid, o[i:i + chunk], d[i:i + chunk]
             )
             outs.append({k: r[k] for k in ("rgb", "depth", "accumulation")})

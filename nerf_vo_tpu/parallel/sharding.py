@@ -253,6 +253,39 @@ def make_dp_train_step(trainer: MappingTrainer, mesh: Mesh, axis: str = "data"):
     return jax.jit(dp_step, donate_argnums=(0,))
 
 
+def make_dp_render_chunk(trainer: MappingTrainer, mesh: Mesh,
+                         axis: str = "data"):
+    """Data-parallel eval renderer: shard a render chunk's RAYS over
+    ``mesh`` (params/occupancy replicated, no collectives — rendering is
+    embarrassingly parallel). Drop-in for
+    :meth:`MappingTrainer.render_image`'s ``chunk_fn``; full-frame eval
+    renders (evaluation/nerf_renderer.py MapRenderer, the reference's
+    NeRFRenderer role) then scale 1/n_devices.
+
+    The chunk size fed to render_image must stay divisible by the mesh
+    size (the default 1 << 14 covers any power-of-two mesh).
+    """
+    n_dev = int(mesh.devices.size)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    def chunk(params, occ, o, d):
+        return trainer.model.render(params, o, d, None, occ_grid=occ)
+
+    chunk_jit = jax.jit(chunk)
+
+    def run(params, occ, o, d):
+        assert o.shape[0] % n_dev == 0, (o.shape, n_dev)
+        return chunk_jit(params, occ, o, d)
+
+    return run
+
+
 def _tp_refresh_proposals(tp_model, params, step, n_model: int, axis: str):
     """Distill-refresh the dense proposal grids when their tables are
     column-sharded: the slab is computed replicated (density eval goes

@@ -20,7 +20,8 @@ import jax
 
 # The env's axon TPU plugin overrides JAX_PLATFORMS=cpu; honor the env var
 # explicitly so --cpu-smoke runs never touch the (possibly down) tunnel.
-if os.environ.get("JAX_PLATFORMS") == "cpu" or "--cpu-smoke" in sys.argv:
+if (os.environ.get("JAX_PLATFORMS") == "cpu" or "--cpu-smoke" in sys.argv
+        or "--cpu-medium" in sys.argv):
     jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
@@ -58,10 +59,13 @@ def run(label, buf, K, steps=400, rays=4096, **over):
 
 def main():
     smoke = "--cpu-smoke" in sys.argv
+    medium = "--cpu-medium" in sys.argv  # 1-core-CPU-feasible quality run
     steps = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() \
-        else (30 if smoke else 400)
+        else (30 if smoke else 200 if medium else 400)
     if smoke:
         K, H, W, rays = 8, 48, 64, 512
+    elif medium:
+        K, H, W, rays = 16, 72, 96, 1024
     else:
         K, H, W, rays = 32, 120, 160, 4096
     rng = np.random.default_rng(0)

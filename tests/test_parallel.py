@@ -304,3 +304,56 @@ def test_entry_compiles():
     rgb = np.asarray(out[0])
     assert rgb.shape[1] == 3
     assert np.isfinite(rgb).all()
+
+
+def test_dp_render_chunk_matches_single_device():
+    """Eval-side DP rendering (rays sharded, params replicated) is
+    numerically identical to the single-device chunk renderer."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from nerf_vo_tpu.mapping.trainer import MappingTrainer, TrainerConfig
+    from nerf_vo_tpu.models.nerfacto import NerfactoConfig, NerfactoModel
+    from nerf_vo_tpu.parallel import sharding
+
+    K = 2
+    model = NerfactoModel(
+        NerfactoConfig(
+            num_proposal_samples=(8,),
+            num_nerf_samples=4,
+            num_images=K,
+            log2_hashmap_size=8,
+            max_res=32,
+            proposal_resolutions=(8,),
+        )
+    )
+    trainer = MappingTrainer(
+        model, TrainerConfig(rays_per_batch=32, max_iterations=4), K
+    )
+    state = trainer.init(jax.random.PRNGKey(0))
+
+    n = 64
+    rng = np.random.RandomState(0)
+    o = jnp.zeros((n, 3), jnp.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d[:, 2] = np.abs(d[:, 2]) + 0.5
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+
+    ref = trainer._render_chunk(state.params, state.occ_grid, o, d)
+
+    mesh = sharding.make_mesh(8)
+    dp_chunk = sharding.make_dp_render_chunk(trainer, mesh)
+    got = dp_chunk(state.params, state.occ_grid, o, d)
+
+    for k in ("rgb", "depth", "accumulation"):
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(ref[k]), rtol=2e-5, atol=2e-5
+        )
+
+    # render_image accepts it as chunk_fn
+    intr = jnp.asarray([8.0, 8.0, 8.0, 6.0], jnp.float32)
+    img = trainer.render_image(
+        state, jnp.eye(4), intr, 12, 16, chunk=64, chunk_fn=dp_chunk
+    )
+    assert img["rgb"].shape == (12, 16, 3)
+    assert np.isfinite(np.asarray(img["rgb"])).all()
