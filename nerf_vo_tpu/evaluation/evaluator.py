@@ -91,9 +91,12 @@ class Evaluator:
             row = {"frame": index}
             row["psnr"] = metrics.psnr(pred_color, gt_color)
             row["mssim"] = metrics.mssim(pred_color, gt_color)
+            # Always emit the lpips column (reference CSV schema,
+            # evaluation/evaluator.py:128-136): NaN when the pretrained
+            # AlexNet weights are unavailable (NERF_VO_LPIPS_WEIGHTS unset)
+            # so the gap is an explicit N/A, never a silently absent column.
             lp = metrics.lpips_distance(pred_color, gt_color)
-            if lp is not None:
-                row["lpips"] = lp
+            row["lpips"] = np.nan if lp is None else lp
             row.update(metrics.depth_metrics(pred_depth, gt_depth))
             rows.append(row)
         if not rows:
@@ -101,15 +104,25 @@ class Evaluator:
         df = pd.DataFrame(rows)
         df.to_csv(os.path.join(self.dir_result, "metrics_2d_frames.csv"),
                   index=False)
-        agg = {
-            k: float(np.nanmean(df[k].replace([np.inf, -np.inf], np.nan)))
-            for k in df.columns if k != "frame"
-        }
+        with np.errstate(all="ignore"):
+            import warnings
+
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", RuntimeWarning)  # all-NaN mean
+                agg = {
+                    k: float(np.nanmean(
+                        df[k].replace([np.inf, -np.inf], np.nan)
+                    ))
+                    for k in df.columns if k != "frame"
+                }
         pd.DataFrame([agg]).to_csv(
             os.path.join(self.dir_result, "metrics_2d.csv"), index=False
         )
+        # JSON: NaN is not valid JSON — emit null for unavailable metrics
+        # (e.g. lpips without NERF_VO_LPIPS_WEIGHTS).
+        agg_json = {k: (None if np.isnan(v) else v) for k, v in agg.items()}
         with open(os.path.join(self.dir_result, "metrics_2d.json"), "w") as f:
-            json.dump(agg, f)
+            json.dump(agg_json, f)
         return agg
 
     # -- 3D --------------------------------------------------------------

@@ -23,7 +23,7 @@ def _set_random_seed(seed: int) -> None:
     np.random.seed(seed)
 
 
-def execute_render_and_evaluate(args: argparse.Namespace, config: dict) -> None:
+def execute_render_and_evaluate(args: argparse.Namespace, config: dict) -> dict:
     from nerf_vo_tpu.evaluation.runner import render_and_evaluate
     from nerf_vo_tpu.runtime.pipeline import execute
     from nerf_vo_tpu.utils.jax_setup import setup_jax
@@ -31,7 +31,7 @@ def execute_render_and_evaluate(args: argparse.Namespace, config: dict) -> None:
     setup_jax()
 
     mapping = execute(args)
-    render_and_evaluate(args, config, mapping)
+    return render_and_evaluate(args, config, mapping)
 
 
 def main() -> None:
