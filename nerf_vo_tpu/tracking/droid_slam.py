@@ -132,6 +132,14 @@ class DROIDSLAMTracker:
         self.e_valid = np.zeros(E, bool)
         self.e_fresh = np.zeros(E, bool)
         self._last_fmap = None
+        # frontend correlation-pyramid cache: the pyramid depends only on
+        # (fmaps, live edge set), both fixed across the iters1+iters2
+        # update iterations of one frame — build once per graph version
+        # and reuse, like the reference's CorrBlock which materializes the
+        # volume once per edge set (droid_slam.py:360; CUDA corr kernels)
+        self._graph_version = 0
+        self._pyr_cache = None
+        self._pyr_version = -1
 
         self._encode = jax.jit(self._encode_impl)
         self._motion = jax.jit(self._motion_impl)
@@ -151,6 +159,7 @@ class DROIDSLAMTracker:
         self._backend_flow = jax.jit(
             self._backend_flow_impl, static_argnames=("n_frames",)
         )
+        self._pyramid = jax.jit(self._pyramid_impl)
 
     # ------------------------------------------------------------------
 
@@ -224,7 +233,12 @@ class DROIDSLAMTracker:
         )
         return jnp.mean(jnp.linalg.norm(delta, axis=-1))
 
-    def _update_impl(self, params, poses, disps, intrinsics8, fmaps, inps,
+    def _pyramid_impl(self, fmaps, ii, jj):
+        f_i = fmaps[ii].astype(jnp.float32)
+        f_j = fmaps[jj].astype(jnp.float32)
+        return tuple(build_corr_pyramid(f_i, f_j, num_levels=4))
+
+    def _update_impl(self, params, poses, disps, intrinsics8, pyr, inps,
                      hidden, e_target, e_weight, ii, jj, e_new, e_live,
                      slot_map, i_target, i_weight, i_ii, i_jj, i_valid):
         """One frontend/backend iteration over the padded edge set.
@@ -238,10 +252,6 @@ class DROIDSLAMTracker:
         cfg = self.cfg
         E = ii.shape[0]
         h, w = self.h, self.w
-
-        f_i = fmaps[ii].astype(jnp.float32)
-        f_j = fmaps[jj].astype(jnp.float32)
-        pyr = build_corr_pyramid(f_i, f_j, num_levels=4)
 
         coords, z = dense_ba.dense_reproject(poses, disps, intrinsics8, ii, jj)
         corr = corr_lookup(pyr, coords, radius=3)
@@ -483,6 +493,7 @@ class DROIDSLAMTracker:
         self.e_jj = new_jj
         self.e_valid[: len(pairs)] = True
         self.e_fresh = new_fresh
+        self._graph_version += 1  # invalidates the frontend pyramid cache
 
     def _store_inactive(self, old: Dict, pairs: List, winset: set) -> None:
         """Move edges evicted from the live set into the inactive ring
@@ -531,12 +542,17 @@ class DROIDSLAMTracker:
         free = [g for g in win if g > 1]
         slot_map = (self._slot_map(free) if slot_override is None
                     else slot_override)
+        ii_dev = jnp.asarray(np.clip(self.e_ii, 0, None).astype(np.int32))
+        jj_dev = jnp.asarray(np.clip(self.e_jj, 0, None).astype(np.int32))
+        if self._pyr_version != self._graph_version:
+            self._pyr_cache = self._pyramid(self.fmaps, ii_dev, jj_dev)
+            self._pyr_version = self._graph_version
         (self.poses, self.disps, self.hidden, self.e_target, self.e_weight,
          self.eta, upmask, costs, depth_cov) = self._update(
             self.params, self.poses, self.disps, self.intrinsics8,
-            self.fmaps, self.inps, self.hidden, self.e_target, self.e_weight,
-            jnp.asarray(np.clip(self.e_ii, 0, None).astype(np.int32)),
-            jnp.asarray(np.clip(self.e_jj, 0, None).astype(np.int32)),
+            self._pyr_cache, self.inps, self.hidden, self.e_target,
+            self.e_weight,
+            ii_dev, jj_dev,
             jnp.asarray(self.e_fresh.copy()),
             jnp.asarray(self.e_valid.copy()),
             jnp.asarray(slot_map),
