@@ -473,6 +473,169 @@ def _tp_onehot_slab(axis_name: str, g0: int, n_cols: int):
     return slab
 
 
+# Per-(source, owner) request-capacity slack for the all_to_all gather.
+# Hashed brick ids are uniform over columns, so a device's M-descriptor
+# slice sends ~M/D requests to each owner; 2.0x absorbs spread plus the
+# dense-level spatial clustering that survives above _ONEHOT_MAX_BRICKS.
+_TP_A2A_SLACK = 2.0
+
+
+@functools.lru_cache(maxsize=None)
+def tp_gather_cols_a2a(axis_name: str, n_shards: int):
+    """Descriptor-sharded tensor-parallel brick gather (all_to_all routing).
+
+    PROTOTYPE for the pod-scale 2D sharding (VERDICT round-2 item 8): the
+    contract differs from _tp_gather_cols in that the SAMPLE axis is
+    sharded over the model axis too — inside the shard_map each device
+    passes its LOCAL slice of descriptors (``idx``/``loc`` of length
+    M = N_total/D) and receives that slice's columns [32F, M], instead of
+    every device walking the full replicated index list.
+
+    Forward: each device routes its index requests to the owning column
+    shard with one int all_to_all (fixed per-pair capacity cap ≈
+    slack·M/D), the owner gathers the requested columns from its local
+    table (~slack·M per-device total requests received), and a second
+    all_to_all returns them; a local take unsorts into slice order. Per-
+    device TABLE gathers drop from N_total (replicated path) to
+    ~slack·N/D, and ICI moves 2×[32F, slack·M] instead of a psum of
+    [32F, N] — both scale with the model axis. The residual per-device
+    cost is the M-descriptor unsort take from the compact response buffer.
+
+    Backward: the cotangent routes to owners the same way (payload
+    compacted to the 8F cell rows under SCATTER_CELL) and each owner
+    scatters only what it received (~slack·N/D descriptors).
+
+    Overflow of any per-pair capacity falls back (uniform lax.cond over a
+    psum'd predicate) to the exchange-everything path: all_gather the
+    indices, masked-gather + psum like _tp_gather_cols, slice. Exact
+    either way.
+    """
+    D = n_shards
+
+    def _route(idx, c_local):
+        M = idx.shape[0]
+        owner = (idx // c_local).astype(jnp.int32)
+        li = idx - owner * c_local
+        oh = owner[None, :] == jnp.arange(D, dtype=jnp.int32)[:, None]
+        rank = jnp.sum(
+            oh * (jnp.cumsum(oh, axis=1) - 1), axis=0, dtype=jnp.int32
+        )
+        cap = min(-(-int(M * _TP_A2A_SLACK / D) // 128) * 128, M)
+        valid = rank < cap
+        # invalid slots map out of bounds: scatters drop them
+        slot = jnp.where(valid, owner * cap + rank, D * cap)
+        return owner, li, rank, cap, valid, slot
+
+    @jax.custom_vjp
+    def gather(local_tables, idx, loc):
+        c_local = local_tables.shape[1]
+        M = idx.shape[0]
+        rows = local_tables.shape[0]
+        owner, li, rank, cap, valid, slot = _route(idx, c_local)
+        overflow = jax.lax.psum(
+            jnp.any(~valid).astype(jnp.int32), axis_name
+        ) > 0
+
+        def main(_):
+            reqs = jnp.full((D * cap + 1,), -1, jnp.int32).at[slot].set(li)
+            reqs = jax.lax.all_to_all(
+                reqs[: D * cap].reshape(D, cap), axis_name, 0, 0
+            ).reshape(D * cap)
+            cols = _split_take(
+                local_tables.astype(jnp.bfloat16),
+                jnp.clip(reqs, 0, c_local - 1),
+            ) * (reqs >= 0).astype(jnp.bfloat16)[None, :]
+            resp = jax.lax.all_to_all(
+                cols.reshape(rows, D, cap), axis_name, 1, 1
+            ).reshape(rows, D * cap)
+            return jnp.take(
+                resp, jnp.where(valid, jnp.clip(slot, 0, D * cap - 1), 0),
+                axis=1,
+            ) * valid.astype(jnp.bfloat16)[None, :]
+
+        def fallback(_):
+            idx_all = jax.lax.all_gather(idx, axis_name, tiled=True)
+            li_all = idx_all - jax.lax.axis_index(axis_name) * c_local
+            own = (li_all >= 0) & (li_all < c_local)
+            cols = _split_take(
+                local_tables.astype(jnp.bfloat16),
+                jnp.clip(li_all, 0, c_local - 1),
+            ) * own.astype(jnp.bfloat16)[None, :]
+            full = jax.lax.psum(cols, axis_name)
+            return jax.lax.dynamic_slice_in_dim(
+                full, jax.lax.axis_index(axis_name) * M, M, axis=1
+            )
+
+        return jax.lax.cond(overflow, fallback, main, None)
+
+    def fwd(local_tables, idx, loc):
+        return gather(local_tables, idx, loc), (idx, loc, local_tables.shape)
+
+    def bwd(res, g):
+        idx, loc, shape = res
+        rows, c_local = shape
+        M = idx.shape[0]
+        F = rows // _BRICK_PAD
+        real = _BRICK * F
+        acc = jnp.bfloat16 if SCATTER_BF16 else jnp.float32
+        owner, li, rank, cap, valid, slot = _route(idx, c_local)
+        overflow = jax.lax.psum(
+            jnp.any(~valid).astype(jnp.int32), axis_name
+        ) > 0
+
+        if SCATTER_CELL:
+            gc = _compact_to_cell(g, loc, F).astype(acc)
+            p = (loc[0] * 2 + loc[1]) * 2 + loc[2]
+            tcid = li * 8 + p
+            out_cols = 8 * c_local
+        else:
+            gc = g[:real].astype(acc)
+            tcid = li
+            out_cols = c_local
+
+        def main(_):
+            pay = jnp.zeros((gc.shape[0], D * cap + 1), acc).at[:, slot].set(
+                gc
+            )
+            cid = jnp.full((D * cap + 1,), -1, jnp.int32).at[slot].set(tcid)
+            pay = jax.lax.all_to_all(
+                pay[:, : D * cap].reshape(gc.shape[0], D, cap),
+                axis_name, 1, 1,
+            ).reshape(gc.shape[0], D * cap)
+            cid = jax.lax.all_to_all(
+                cid[: D * cap].reshape(D, cap), axis_name, 0, 0
+            ).reshape(D * cap)
+            ok = (cid >= 0).astype(acc)
+            return jnp.zeros((gc.shape[0], out_cols), acc).at[
+                :, jnp.clip(cid, 0, out_cols - 1)
+            ].add(pay * ok[None, :])
+
+        def fallback(_):
+            g_all = jax.lax.all_gather(gc, axis_name, axis=1, tiled=True)
+            t_all = jax.lax.all_gather(tcid, axis_name, tiled=True)
+            # li is OWNER-relative (always in [0, c_local)); ownership is
+            # owner == this shard, not a range test on li
+            own_all = jax.lax.all_gather(
+                owner, axis_name, tiled=True
+            ) == jax.lax.axis_index(axis_name)
+            return jnp.zeros((gc.shape[0], out_cols), acc).at[
+                :, jnp.clip(t_all, 0, out_cols - 1)
+            ].add(g_all * own_all.astype(acc)[None, :])
+
+        grad = jax.lax.cond(overflow, fallback, main, None)
+        if SCATTER_CELL:
+            cellr = grad.astype(jnp.float32).reshape(8, F, c_local, 8)
+            grad = jnp.einsum("qfcp,epq->efc", cellr, _cell_incidence())
+            grad = grad.reshape(real, c_local)
+        pad = jnp.zeros((rows - real, c_local), jnp.float32)
+        return jnp.concatenate(
+            [grad.astype(jnp.float32), pad], axis=0
+        ), None, None
+
+    gather.defvjp(fwd, bwd)
+    return gather
+
+
 def hash_encode(tables, x, config: HashGridConfig,
                 model_axis: Optional[str] = None):
     """Encode points with the multiresolution brick grid.
