@@ -1,0 +1,98 @@
+"""Run the TPU measurement queue (TPU_QUEUE.md) end-to-end, with logging.
+
+Probes tunnel health first, then runs each pending measurement script
+SEQUENTIALLY (never two TPU programs at once on this 1-core host), probing
+again between items — the axon tunnel has mid-session outages. Each item's
+stdout/stderr goes to ``tpu_runs/<name>.log`` plus a summary line to
+``tpu_runs/queue_summary.json``. Resume-safe: items with an existing OK log
+are skipped unless --force.
+
+Usage:  python scripts/run_tpu_queue.py [--only exp_scatter4,bench]
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LOGDIR = os.path.join(REPO, "tpu_runs")
+
+# (name, command, timeout_s) in TPU_QUEUE.md priority order
+QUEUE = [
+    ("exp_step_cuts", [sys.executable, "scripts/exp_step_cuts.py"], 2400),
+    ("exp_scatter4", [sys.executable, "scripts/exp_scatter4.py"], 2400),
+    ("exp_mlp_prop", [sys.executable, "scripts/exp_mlp_prop.py"], 3600),
+    ("exp_normals", [sys.executable, "scripts/exp_normals.py"], 2400),
+    ("exp_samples", [sys.executable, "scripts/exp_samples.py"], 3600),
+    ("bench", [sys.executable, "bench.py"], 1800),
+    ("exp_vo_cut", [sys.executable, "scripts/exp_vo_cut.py"], 2400),
+    ("bench_tracking", [sys.executable, "bench_tracking.py"], 1800),
+    ("bench_droid", [sys.executable, "bench_droid.py"], 2400),
+]
+
+
+def probe(timeout=90) -> bool:
+    try:
+        r = subprocess.run(
+            [sys.executable, "scripts/probe_tpu.py"], cwd=REPO,
+            timeout=timeout, capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None,
+                    help="comma-separated subset of queue item names")
+    ap.add_argument("--force", action="store_true",
+                    help="re-run items that already have an OK log")
+    args = ap.parse_args()
+    os.makedirs(LOGDIR, exist_ok=True)
+    only = set(args.only.split(",")) if args.only else None
+
+    summary_path = os.path.join(LOGDIR, "queue_summary.json")
+    summary = {}
+    if os.path.exists(summary_path):
+        with open(summary_path) as f:
+            summary = json.load(f)
+
+    for name, cmd, timeout in QUEUE:
+        if only is not None and name not in only:
+            continue
+        if not args.force and summary.get(name, {}).get("rc") == 0:
+            print(f"[queue] {name}: already OK, skipping (--force to rerun)")
+            continue
+        if not probe():
+            print(f"[queue] tunnel unhealthy before {name}; stopping")
+            return 2
+        log = os.path.join(LOGDIR, f"{name}.log")
+        print(f"[queue] running {name} (timeout {timeout}s) -> {log}")
+        t0 = time.time()
+        try:
+            with open(log, "w") as f:
+                r = subprocess.run(cmd, cwd=REPO, timeout=timeout,
+                                   stdout=f, stderr=subprocess.STDOUT)
+            rc = r.returncode
+        except subprocess.TimeoutExpired:
+            rc = -9
+        dt = time.time() - t0
+        summary[name] = {"rc": rc, "seconds": round(dt, 1),
+                         "log": os.path.relpath(log, REPO),
+                         "when": time.strftime("%Y-%m-%d %H:%M:%S")}
+        with open(summary_path, "w") as f:
+            json.dump(summary, f, indent=2)
+        print(f"[queue] {name}: rc={rc} in {dt:.0f}s")
+        if rc != 0 and name == "bench":
+            # a broken headline bench is worth stopping for
+            return 1
+    print(f"[queue] done; summary in {summary_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
