@@ -65,6 +65,7 @@ class ProposalDensityField(nn.Module):
     hidden: int = 16
     model_axis: Optional[str] = None  # mesh axis of column-sharded tables
     model_axis_size: int = 1  # shard count (declares local param shape)
+    descriptor_sharding: bool = False  # a2a-routed lookups (samples sharded)
     use_contraction: bool = True
     aabb_min: float = -1.0
     aabb_max: float = 1.0
@@ -84,8 +85,11 @@ class ProposalDensityField(nn.Module):
             lambda key: hash_grid.init_tables(
                 key, self.grid, shard=self.model_axis_size),
         )
-        feat = hash_grid.hash_encode(tables, self._to_unit(positions), self.grid,
-                                     model_axis=self.model_axis)
+        feat = hash_grid.hash_encode(
+            tables, self._to_unit(positions), self.grid,
+            model_axis=self.model_axis,
+            descriptor_sharding=self.descriptor_sharding,
+        )
         h = MLP(hidden=self.hidden, depth=1, out_dim=1)(feat)
         return trunc_exp(h[..., 0] - 1.0)
 
@@ -118,6 +122,7 @@ class MLPProposalField(nn.Module):
     depth: int = 2
     model_axis: Optional[str] = None  # unused: params replicate under TP
     model_axis_size: int = 1
+    descriptor_sharding: bool = False  # unused: no table lookups here
     use_contraction: bool = True
     aabb_min: float = -1.0
     aabb_max: float = 1.0
@@ -178,6 +183,7 @@ class DenseProposalField(nn.Module):
     resolution: int = 128
     model_axis: Optional[str] = None  # mesh axis of column-sharded tables
     model_axis_size: int = 1  # shard count (declares local param shape)
+    descriptor_sharding: bool = False  # a2a-routed lookups (samples sharded)
     use_contraction: bool = True
     aabb_min: float = -1.0
     aabb_max: float = 1.0
@@ -211,6 +217,7 @@ class DenseProposalField(nn.Module):
         feat = hash_grid.hash_encode(
             tables, self._to_unit(positions), self.grid,
             model_axis=self.model_axis,
+            descriptor_sharding=self.descriptor_sharding,
         )
         return trunc_exp(feat[..., 0] - 1.0)
 
@@ -232,6 +239,7 @@ class NerfactoField(nn.Module):
     sh_degree: int = 4
     model_axis: Optional[str] = None  # mesh axis of column-sharded tables
     model_axis_size: int = 1  # shard count (declares local param shape)
+    descriptor_sharding: bool = False  # a2a-routed lookups (samples sharded)
     use_contraction: bool = True
     aabb_min: float = -1.0
     aabb_max: float = 1.0
@@ -257,8 +265,11 @@ class NerfactoField(nn.Module):
         )
 
     def density(self, positions):
-        feat = hash_grid.hash_encode(self.tables, self._to_unit(positions),
-                                     self.grid, model_axis=self.model_axis)
+        feat = hash_grid.hash_encode(
+            self.tables, self._to_unit(positions), self.grid,
+            model_axis=self.model_axis,
+            descriptor_sharding=self.descriptor_sharding,
+        )
         h = self.density_mlp(feat)
         density = trunc_exp(h[..., 0] - 1.0)
         return density, h[..., 1:]
@@ -267,8 +278,11 @@ class NerfactoField(nn.Module):
         """Density at coords ALREADY in the unit cube (the occupancy-grid
         refresh evaluates at grid-cell centers, which live in unit space —
         no world-frame round trip needed)."""
-        feat = hash_grid.hash_encode(self.tables, unit_positions, self.grid,
-                                     model_axis=self.model_axis)
+        feat = hash_grid.hash_encode(
+            self.tables, unit_positions, self.grid,
+            model_axis=self.model_axis,
+            descriptor_sharding=self.descriptor_sharding,
+        )
         h = self.density_mlp(feat)
         return trunc_exp(h[..., 0] - 1.0)
 

@@ -128,6 +128,13 @@ class NerfactoConfig:
     # (parallel/sharding.py make_dp_tp_train_step). None = replicated.
     model_axis: Optional[str] = None
     model_axis_size: int = 1
+    # descriptor sharding (2D data x model): the sample axis is sharded
+    # over the model axis too and table lookups route via all_to_all
+    # (ops/hash_grid.tp_gather_cols_a2a) — per-device descriptor work
+    # scales ~1/model_axis_size instead of staying flat. The train step
+    # must then feed each model-axis device DIFFERENT rays
+    # (make_dp_tp_train_step(descriptor_sharding=True)).
+    descriptor_sharding: bool = False
     # sampling strategy: "proposal" (nerfacto) or "occupancy" (Instant-NGP
     # path: density-grid-driven empty-space skipping, ops/occupancy.py)
     sampler: str = "proposal"
@@ -146,6 +153,7 @@ class NerfactoModel:
             aabb_max=config.aabb_max,
             model_axis=config.model_axis,
             model_axis_size=config.model_axis_size,
+            descriptor_sharding=config.descriptor_sharding,
         )
         if config.proposal_type == "dense":
             self.proposal_fields = [

@@ -426,7 +426,8 @@ def _tp_gather_cols(axis_name: str, n_shards: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _tp_onehot_slab(axis_name: str, g0: int, n_cols: int):
+def _tp_onehot_slab(axis_name: str, g0: int, n_cols: int,
+                    sharded_samples: bool = False):
     """Replicate the dense-level column range [g0, g0+n_cols) on the fly
     (for the one-hot MXU encode path under tensor parallelism).
 
@@ -440,6 +441,12 @@ def _tp_onehot_slab(axis_name: str, g0: int, n_cols: int):
     Contract matches _tp_gather_cols: forward psum-replicates; backward
     takes the (model-axis-replicated) cotangent and writes only the owned
     columns into the local shard — no collective, no scaling.
+
+    ``sharded_samples``: descriptor-sharded mode (tp_gather_cols_a2a) —
+    each model-axis device encodes DIFFERENT samples, so the slab
+    cotangents differ per device and the backward must psum them over the
+    model axis before writing the owned columns (one [32F, n_cols] psum,
+    ~0.5 MB).
     """
 
     @jax.custom_vjp
@@ -459,6 +466,8 @@ def _tp_onehot_slab(axis_name: str, g0: int, n_cols: int):
     def bwd(shape, g):
         c_local = shape[1]
         ax = jax.lax.axis_index(axis_name)
+        if sharded_samples:
+            g = jax.lax.psum(g, axis_name)
         # local column j holds global id ax*c_local + j; it receives slab
         # entry rel = ax*c_local + j - g0 when that lies inside the slab
         j = jnp.arange(c_local)
@@ -637,7 +646,8 @@ def tp_gather_cols_a2a(axis_name: str, n_shards: int):
 
 
 def hash_encode(tables, x, config: HashGridConfig,
-                model_axis: Optional[str] = None):
+                model_axis: Optional[str] = None,
+                descriptor_sharding: bool = False):
     """Encode points with the multiresolution brick grid.
 
     Args:
@@ -646,6 +656,12 @@ def hash_encode(tables, x, config: HashGridConfig,
         axis (tensor-parallel tables — see _tp_gather_cols).
       x: [..., 3] positions in the unit cube [0, 1]^3 (values outside are
         clamped; callers apply scene contraction first).
+      descriptor_sharding: with ``model_axis``, route table lookups through
+        the all_to_all gather (tp_gather_cols_a2a) instead of the
+        replicated-index masked gather: callers then pass each device ITS
+        OWN samples (the sample axis is sharded over the model axis too)
+        and per-device descriptor work scales ~1/D. One-hot dense levels
+        psum their table cotangents over the model axis in this mode.
 
     Returns:
       [..., L*F] encoded features (f32), feature-within-level minor
@@ -695,9 +711,9 @@ def hash_encode(tables, x, config: HashGridConfig,
         bpa = ((res_list[l] - 1) >> 1) + 1
         B_l = bpa**3
         if model_axis is not None:
-            sub = _tp_onehot_slab(model_axis, l * NB, B_l)(tables).astype(
-                jnp.bfloat16
-            )
+            sub = _tp_onehot_slab(
+                model_axis, l * NB, B_l, descriptor_sharding
+            )(tables).astype(jnp.bfloat16)
         else:
             sub = tables[:, l * NB: l * NB + B_l].astype(jnp.bfloat16)
         oh = (
@@ -712,7 +728,11 @@ def hash_encode(tables, x, config: HashGridConfig,
     if n_oh < L:
         idx = jnp.stack(ids[n_oh:]).reshape(-1)  # [(L - n_oh) * N]
         loc_s = local[:, n_oh:, :].reshape(3, -1)
-        if model_axis is not None:
+        if model_axis is not None and descriptor_sharding:
+            parts.append(
+                tp_gather_cols_a2a(model_axis, n_shards)(tables, idx, loc_s)
+            )
+        elif model_axis is not None:
             parts.append(
                 _tp_gather_cols(model_axis, n_shards)(tables, idx, loc_s)
             )

@@ -314,7 +314,8 @@ def _tp_refresh_proposals(tp_model, params, step, n_model: int, axis: str):
 
 def make_dp_tp_train_step(trainer: MappingTrainer, mesh: Mesh,
                           data_axis: str = "data",
-                          model_axis: str = "model"):
+                          model_axis: str = "model",
+                          descriptor_sharding: bool = False):
     """Build a 2D data x model parallel train step over ``mesh``.
 
     Rays shard over ``data_axis`` (throughput); every grid's table columns
@@ -324,20 +325,36 @@ def make_dp_tp_train_step(trainer: MappingTrainer, mesh: Mesh,
     The loss runs on a model VIEW with ``config.model_axis`` set, so each
     ``hash_encode`` does the local masked gather + feature psum; the param
     tree is identical to the replicated model's, just column-sharded.
+
+    ``descriptor_sharding``: 2D descriptor sharding — the ray batch shards
+    over BOTH axes (each model-axis device gets different rays) and table
+    lookups route through the all_to_all gather
+    (ops/hash_grid.tp_gather_cols_a2a), so per-device encode descriptors
+    scale ~1/(n_data*n_model) instead of 1/n_data. Table gradients arrive
+    at their owning shard as the SUM over the model group (the routing
+    delivers each descriptor's cotangent exactly once) and are divided by
+    n_model to make the group mean; replicated leaves pmean over both axes
+    as a true average. The model axis becomes a throughput axis too, while
+    keeping the 1/n_model table memory.
     """
     import dataclasses as _dc
 
     from nerf_vo_tpu.models.nerfacto import NerfactoModel
 
     n_data = mesh.shape[data_axis]
-    per_dev = trainer.config.rays_per_batch // n_data
-    assert per_dev * n_data == trainer.config.rays_per_batch
+    n_model = int(mesh.shape[model_axis])
+    n_groups = n_data * n_model if descriptor_sharding else n_data
+    per_dev = trainer.config.rays_per_batch // n_groups
+    assert per_dev * n_groups == trainer.config.rays_per_batch, (
+        trainer.config.rays_per_batch, n_groups
+    )
 
     tp_model = NerfactoModel(
         _dc.replace(
             trainer.model.config,
             model_axis=model_axis,
-            model_axis_size=int(mesh.shape[model_axis]),
+            model_axis_size=n_model,
+            descriptor_sharding=descriptor_sharding,
         )
     )
 
@@ -373,10 +390,18 @@ def make_dp_tp_train_step(trainer: MappingTrainer, mesh: Mesh,
             check_vma=False,
         )
         def step(state: TrainState, buffer, key):
-            # same rays within a model group; unique rays per data row
-            dev_key = jax.random.fold_in(
-                key, jax.lax.axis_index(data_axis)
-            )
+            if descriptor_sharding:
+                # unique rays on EVERY device (both axes)
+                dev_key = jax.random.fold_in(
+                    key,
+                    jax.lax.axis_index(data_axis) * n_model
+                    + jax.lax.axis_index(model_axis),
+                )
+            else:
+                # same rays within a model group; unique rays per data row
+                dev_key = jax.random.fold_in(
+                    key, jax.lax.axis_index(data_axis)
+                )
             occ = (
                 jax.lax.stop_gradient(state.occ_grid)
                 if state.occ_grid is not None else None
@@ -387,9 +412,13 @@ def make_dp_tp_train_step(trainer: MappingTrainer, mesh: Mesh,
             g_params, g_pose = grads
             # table grads: shard-local columns, pmean over data only;
             # replicated leaves: pmean over both axes (identical across
-            # the model axis in exact arithmetic; the pmean pins them)
+            # the model axis in exact arithmetic; the pmean pins them).
+            # Under descriptor sharding the routed table grad is the SUM
+            # over the model group's per-device grads — /n_model makes it
+            # the group mean, matching the replicated leaves' pmean.
+            t_scale = 1.0 / n_model if descriptor_sharding else 1.0
             g_params = jax.tree_util.tree_map_with_path(
-                lambda path, g: jax.lax.pmean(g, data_axis)
+                lambda path, g: jax.lax.pmean(g, data_axis) * t_scale
                 if _is_table_path(path)
                 else jax.lax.pmean(g, (data_axis, model_axis)),
                 g_params,

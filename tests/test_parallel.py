@@ -162,6 +162,82 @@ def test_tp_matches_dp_with_onehot_level():
     )
 
 
+def test_descriptor_sharding_matches_dp():
+    """DP(4) == DS(2 data x 2 model): 2D descriptor sharding — unique rays
+    on every device, table lookups routed via all_to_all
+    (tp_gather_cols_a2a), one-hot slab cotangents psum'd over the model
+    axis, routed table-grad sums rescaled to the group mean. Ray groups
+    align with flat DP(4) because the fold index data*n_model + model
+    enumerates 0..3, so the updated params must match within scatter-order
+    noise."""
+    import jax.numpy as jnp
+
+    from nerf_vo_tpu.mapping import keyframe_buffer as kb
+    from nerf_vo_tpu.mapping.trainer import MappingTrainer, TrainerConfig
+    from nerf_vo_tpu.models.nerfacto import NerfactoConfig, NerfactoModel
+    from nerf_vo_tpu.parallel import sharding
+
+    K, H, W = 4, 12, 16
+    model = NerfactoModel(
+        NerfactoConfig(
+            num_proposal_samples=(8,),
+            num_nerf_samples=6,
+            num_images=K,
+            log2_hashmap_size=14,  # base level one-hot, rest a2a-routed
+            max_res=64,
+            proposal_resolutions=(8,),
+        )
+    )
+    trainer = MappingTrainer(
+        model, TrainerConfig(rays_per_batch=64, max_iterations=8), K
+    )
+    buf = kb.create(K, H, W)
+    packet = {
+        "intrinsics": jnp.tile(jnp.asarray([10.0, 10.0, W / 2, H / 2]),
+                               (K, 1)),
+        "c2w": jnp.tile(jnp.eye(4), (K, 1, 1)),
+        "color": jnp.full((K, H, W, 3), 0.5),
+        "depth": jnp.full((K, H, W), 2.0),
+        "normal": jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (K, H, W, 1)),
+    }
+    buf = kb.insert(buf, jnp.arange(K), packet)
+    key = jax.random.PRNGKey(1)
+
+    mesh_dp = sharding.make_mesh(4)
+    st_dp = sharding.replicate(trainer.init(jax.random.PRNGKey(0)), mesh_dp)
+    dp = sharding.make_dp_train_step(trainer, mesh_dp)
+    st_dp2, m_dp = dp(st_dp, sharding.replicate(buf, mesh_dp), key)
+
+    mesh_ds = sharding.make_mesh_2d(2, 2)
+    st_ds = sharding.shard_state_tp(trainer.init(jax.random.PRNGKey(0)),
+                                    mesh_ds)
+    ds = sharding.make_dp_tp_train_step(trainer, mesh_ds,
+                                        descriptor_sharding=True)
+    st_ds2, m_ds = ds(st_ds, sharding.replicate(buf, mesh_ds), key)
+
+    np.testing.assert_allclose(
+        float(m_dp["loss"]), float(m_ds["loss"]), rtol=1e-5
+    )
+    flat_dp = jax.tree_util.tree_leaves_with_path(st_dp2.params)
+    flat_ds = jax.tree_util.tree_leaves_with_path(st_ds2.params)
+    assert len(flat_dp) == len(flat_ds)
+    for (path_d, leaf_d), (path_t, leaf_t) in zip(flat_dp, flat_ds):
+        assert path_d == path_t
+        np.testing.assert_allclose(
+            np.asarray(leaf_d),
+            np.asarray(leaf_t),
+            rtol=2e-4,
+            atol=2e-6,
+            err_msg=jax.tree_util.keystr(path_d),
+        )
+    np.testing.assert_allclose(
+        np.asarray(st_dp2.pose_deltas),
+        np.asarray(st_ds2.pose_deltas),
+        rtol=2e-4,
+        atol=2e-6,
+    )
+
+
 def test_tp_occupancy_grid_refreshes():
     """The NGP path on a 2D data x model mesh must refresh its occupancy
     grid every update_every steps (this was a pass-through gap: the TP
