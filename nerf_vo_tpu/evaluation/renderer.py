@@ -154,6 +154,8 @@ class Renderer:
             self._render_mesh_from_frames(mode)
         elif source == "nerf":
             self._render_mesh_from_nerf()
+        elif source == "poisson":
+            self._render_mesh_from_poisson(mode)
         else:
             raise NotImplementedError(source)
 
@@ -182,6 +184,57 @@ class Renderer:
             camera_extrinsics=extr,
             frames_color=colors,
             frames_depth=depths,
+        )
+
+    def _render_mesh_from_poisson(self, mode: str) -> None:
+        """Poisson reconstruction from the rendered evaluation frames
+        (reference nerf_renderer.py:170-209: generate_point_cloud +
+        Open3D Poisson depth-9 + 10% density cull — here the FFT
+        regular-grid solver, evaluation/poisson.py). Points/normals are
+        backprojected from the rendered depths at GT poses, so the mesh
+        lands directly in the GT frame like the TSDF path."""
+        from nerf_vo_tpu.evaluation import poisson as poisson_mod
+
+        folder = "evaluation_frames"
+        if not os.path.exists(self.dir_prediction + f"/{folder}/color"):
+            self.render_frames(mode=mode)
+        indices = self.dataset.evaluation_frames
+        pts_all, nrm_all = [], []
+        for i in indices:
+            depth = cv2.imread(
+                self.dir_prediction + f"/{folder}/depth/{i:06d}.png",
+                cv2.IMREAD_ANYDEPTH,
+            ).astype(np.float64) / self.dataset.camera_intrinsics[
+                "depth_scale"
+            ]
+            p, n = poisson_mod.depth_to_points_normals(
+                depth, self.dataset.camera_intrinsics,
+                self.dataset.camera_extrinsics[i], max_depth=5.0,
+            )
+            pts_all.append(p)
+            nrm_all.append(n)
+        pts = np.concatenate(pts_all)
+        nrm = np.concatenate(nrm_all)
+        if not len(pts):
+            meshio.write_ply(
+                self.dir_prediction + "/mesh/mesh_from_poisson.ply",
+                np.zeros((0, 3), np.float32), None,
+            )
+            return
+        # reference samples 200k points for its cloud (evaluator.py:148-174)
+        n_max = 200_000
+        if len(pts) > n_max:
+            sel = np.random.default_rng(42).choice(len(pts), n_max,
+                                                   replace=False)
+            pts, nrm = pts[sel], nrm[sel]
+        verts, faces = poisson_mod.poisson_mesh(
+            pts, nrm,
+            grid_resolution=int(
+                self.config.get("poisson_grid_resolution", 256)
+            ),
+        )
+        meshio.write_ply(
+            self.dir_prediction + "/mesh/mesh_from_poisson.ply", verts, faces
         )
 
     def _render_mesh_from_nerf(self) -> None:

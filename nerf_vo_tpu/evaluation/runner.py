@@ -28,6 +28,10 @@ def render_and_evaluate(args: argparse.Namespace, config: dict,
     renderer.render_camera_extrinsics_keyframes()
     renderer.render_frames()
     renderer.render_mesh(source="frames")
+    if config.get("render_poisson_mesh", False):
+        # opt-in Poisson surface reconstruction (reference
+        # nerf_renderer.py:170-209 offers Poisson export alongside TSDF)
+        renderer.render_mesh(source="poisson")
 
     evaluator = Evaluator(config=config, dataset=dataset)
     metrics = {

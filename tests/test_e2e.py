@@ -126,6 +126,8 @@ def _args(scene_root, tmp_path):
         tracking_max_edges=512,
         tracking_ring_size=8,
         tracking_max_frames=64,
+        render_poisson_mesh=True,
+        poisson_grid_resolution=64,
     )
     return argparse.Namespace(**cfg), cfg
 
@@ -182,5 +184,6 @@ def test_render_and_evaluate(pipeline_run):
     assert len(os.listdir(pred + "/evaluation_frames/color")) == n_eval
     assert len(os.listdir(pred + "/evaluation_frames/depth")) == n_eval
     assert os.path.exists(pred + "/mesh/mesh_from_evaluation_frames.ply")
+    assert os.path.exists(pred + "/mesh/mesh_from_poisson.ply")
     m3 = metrics["3d"]
     assert m3 is not None and np.isfinite(m3["mesh_f1"])
