@@ -34,7 +34,9 @@ QUEUE = [
 ]
 
 
-def probe(timeout=90) -> bool:
+def probe(timeout=240) -> bool:
+    # cold tunnel starts have been observed at ~75 s for the first tiny
+    # matmul; 90 s false-negatives on them
     try:
         r = subprocess.run(
             [sys.executable, "scripts/probe_tpu.py"], cwd=REPO,
