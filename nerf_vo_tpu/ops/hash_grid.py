@@ -153,27 +153,27 @@ def _split_take(tables, idx):
 #     restore full-f32 accumulation (exact-parity debugging).
 SCATTER_BF16 = True
 
-# Cell-granular backward scatter: the brick-column cotangent has only 8F
-# nonzero rows of 27F — W zero-weights every brick corner outside the
-# sample's own 2x2x2 cell — so the backward can compact each column to its
-# cell's 8F rows (axis-wise shift-select by the base-corner bit; selection
-# IS compaction because the dropped rows are exactly zero), scatter
-# 128-byte columns (at F=8 bf16) into a per-level CELL table
-# [8F, 8*bricks], and densely transform back to the brick layout with a
-# constant [27, 8, 8] incidence contraction. 3.4x fewer scatter payload
-# bytes than the 27F-row brick scatter; exact (no approximation). Gated on
-# the hardware measurement in scripts/exp_scatter4.py — the scatter
-# emitter must stay byte-bound (~45 GB/s) at 64-row columns for this to
-# win; flip off if a per-descriptor floor dominates there.
-SCATTER_CELL = True
-
-# Route the cell-granular backward through the Pallas sorted-segment-sum
-# kernel (ops/scatter_pallas.py) instead of the XLA scatter emitter: sort
-# by cell id + per-tile one-hot MXU accumulation, zero scatters, exact f32
-# accumulation of the bf16 payload. Gated on the hardware measurement
-# (scripts/exp_scatter4.py) — wins iff sort+permute+matmul beats the
-# emitter's byte rate at 64-row columns.
-SCATTER_PALLAS = False
+# Backward route for the scattered (hashed) levels' table gradients — the
+# dominant per-descriptor cost of the train step. Candidates, measured at
+# the production descriptor count (393K) on v5e (tpu_runs/exp_scatter4.log,
+# 2026-08-19):
+#   "brick"  — bf16 column scatter-add of the 27F-row brick cotangents
+#              (10.88 ms, 27.7 ns/desc: the XLA scatter emitter has a
+#              per-DESCRIPTOR floor at these widths, not a byte bound).
+#   "cell"   — compact each column to its cell's 8F nonzero rows (W
+#              zero-weights corners outside the sample's 2x2x2 cell),
+#              scatter 128-B columns into a per-level cell table, rebuild
+#              the brick layout with a constant [27,8,8] incidence
+#              contraction. Exact; 3.4x fewer payload bytes — but the
+#              scatter floor is per-descriptor, so the bare scatter only
+#              drops to 8.56 ms and the compact+transform overhead brings
+#              the full pipeline to 11.78 ms: NOT a win over "brick".
+#   "segsum" — ZERO scatters: sort descriptors by brick column, then a
+#              Pallas kernel accumulates per-tile one-hot MXU matmuls of
+#              the full 27F-row payload (ops/scatter_pallas.py). Runs on
+#              the raw brick columns, so it needs no compact/transform.
+#              Pending its hardware gate (scripts/exp_scatter4.py).
+SCATTER_ROUTE = "cell"
 
 
 def _cell_incidence():
@@ -204,11 +204,10 @@ def _compact_to_cell(g, loc, F):
 
 
 def _scatter_cells(g, idx, loc, shape, n_bricks, base_col):
-    """Cell-granular table gradient (see SCATTER_CELL): per scattered
+    """Cell-granular table gradient (SCATTER_ROUTE="cell"): per scattered
     level, scatter [8F]-row cotangent columns into a cell table and
-    transform back to brick layout. Returns the full [rows, total_cols]
-    f32 gradient (one-hot-level columns zero — their grads flow through
-    the dense-slice path in hash_encode)."""
+    transform back to brick layout. Returns the scattered-level span's
+    [rows, total_cols - base_col] f32 gradient."""
     rows, total_cols = shape
     F = rows // _BRICK_PAD
     M = idx.shape[0]
@@ -218,50 +217,60 @@ def _scatter_cells(g, idx, loc, shape, n_bricks, base_col):
     gc = _compact_to_cell(g, loc, F).astype(acc)
     p = (loc[0] * 2 + loc[1]) * 2 + loc[2]
     R = _cell_incidence()
-    if SCATTER_PALLAS:
-        from nerf_vo_tpu.ops.scatter_pallas import sorted_segment_sum
+    parts = []
+    for l in range(Ls):
+        sl = slice(l * N, (l + 1) * N)
+        cid = (idx[sl] - (base_col + l * n_bricks)) * 8 + p[sl]
+        cell = jnp.zeros((8 * F, 8 * n_bricks), acc).at[:, cid].add(
+            gc[:, sl]
+        )
+        cellr = cell.astype(jnp.float32).reshape(8, F, n_bricks, 8)
+        parts.append(
+            jnp.einsum("qfcp,epq->efc", cellr, R).reshape(
+                _BRICK * F, n_bricks
+            )
+        )
+    return parts[0] if Ls == 1 else jnp.concatenate(parts, axis=1)
 
-        cid = (idx - base_col) * 8 + p  # global cell id over the span
-        cell = sorted_segment_sum(
-            gc.astype(jnp.bfloat16), cid, Ls * n_bricks * 8,
-            interpret=jax.default_backend() != "tpu",
-        )
-        cellr = cell.reshape(8, F, Ls, n_bricks, 8)
-        grad_s = jnp.einsum("qflbp,epq->eflb", cellr, R).reshape(
-            _BRICK * F, Ls * n_bricks
-        )
-    else:
-        parts = []
-        for l in range(Ls):
-            sl = slice(l * N, (l + 1) * N)
-            cid = (idx[sl] - (base_col + l * n_bricks)) * 8 + p[sl]
-            cell = jnp.zeros((8 * F, 8 * n_bricks), acc).at[:, cid].add(
-                gc[:, sl]
-            )
-            cellr = cell.astype(jnp.float32).reshape(8, F, n_bricks, 8)
-            parts.append(
-                jnp.einsum("qfcp,epq->efc", cellr, R).reshape(
-                    _BRICK * F, n_bricks
-                )
-            )
-        grad_s = parts[0] if Ls == 1 else jnp.concatenate(parts, axis=1)
-    grad_s = jnp.concatenate(
-        [grad_s, jnp.zeros((rows - _BRICK * F, grad_s.shape[1]), jnp.float32)],
-        axis=0,
-    )
-    if base_col == 0:
-        return grad_s
-    return jnp.concatenate(
-        [jnp.zeros((rows, base_col), jnp.float32), grad_s], axis=1
+
+def _scatter_bricks(g, idx, shape, base_col):
+    """Plain bf16 column scatter-add of the 27F-row brick cotangents
+    (SCATTER_ROUTE="brick") over the scattered-level span."""
+    rows, total_cols = shape
+    F = rows // _BRICK_PAD
+    real = _BRICK * F
+    acc = jnp.bfloat16 if SCATTER_BF16 else jnp.float32
+    return jnp.zeros((real, total_cols - base_col), acc).at[
+        :, idx - base_col
+    ].add(g[:real].astype(acc)).astype(jnp.float32)
+
+
+def _segsum_bricks(g, idx, shape, base_col):
+    """Zero-scatter table gradient (SCATTER_ROUTE="segsum"): sort the
+    descriptors by brick column and accumulate per-tile one-hot MXU
+    matmuls in a Pallas kernel — runs on the raw 27F-row brick columns,
+    so no cell compaction or incidence transform is needed."""
+    from nerf_vo_tpu.ops.scatter_pallas import sorted_segment_sum
+
+    rows, total_cols = shape
+    F = rows // _BRICK_PAD
+    real = _BRICK * F
+    return sorted_segment_sum(
+        g[:real].astype(jnp.bfloat16), idx - base_col, total_cols - base_col,
+        interpret=jax.default_backend() != "tpu",
     )
 
 
 @functools.lru_cache(maxsize=None)
-def _gather_cols_cell(n_bricks: int, base_col: int):
-    """Brick-column gather whose backward takes the cell-granular scatter
-    path (_scatter_cells). idx must hold the SCATTERED levels' global
-    column ids (the suffix [base_col, total_cols) of the table, level-
-    major); loc their [3, M] base-corner bits (non-differentiable)."""
+def _gather_scattered(n_bricks: int, base_col: int, route: str):
+    """Brick-column gather for the SCATTERED levels, with mixed-precision
+    autodiff: the forward gathers a bf16 SHADOW of the f32 table (halves
+    descriptor payloads — measured 2x); the backward builds the table
+    gradient via ``route`` (see SCATTER_ROUTE). idx must hold the scattered
+    levels' global column ids (the suffix [base_col, total_cols) of the
+    table, level-major); loc their [3, M] base-corner bits
+    (non-differentiable). Linear in ``tables``, so the custom VJP is
+    exact up to the accumulation dtype."""
 
     @jax.custom_vjp
     def gather(tables, idx, loc):
@@ -272,51 +281,26 @@ def _gather_cols_cell(n_bricks: int, base_col: int):
 
     def bwd(res, g):
         idx, loc, shape = res
-        return (
-            _scatter_cells(g, idx, loc, shape, n_bricks, base_col),
-            None,
-            None,
+        rows, total_cols = shape
+        if route == "cell":
+            grad_s = _scatter_cells(g, idx, loc, shape, n_bricks, base_col)
+        elif route == "segsum":
+            grad_s = _segsum_bricks(g, idx, shape, base_col)
+        else:
+            grad_s = _scatter_bricks(g, idx, shape, base_col)
+        real = grad_s.shape[0]
+        grad_s = jnp.concatenate(
+            [grad_s, jnp.zeros((rows - real, grad_s.shape[1]), jnp.float32)],
+            axis=0,
         )
+        if base_col:
+            grad_s = jnp.concatenate(
+                [jnp.zeros((rows, base_col), jnp.float32), grad_s], axis=1
+            )
+        return grad_s, None, None
 
     gather.defvjp(fwd, bwd)
     return gather
-
-
-def _scatter_cols(g, idx, shape):
-    """Column scatter-add of cotangents into an f32 zeros(shape) table grad,
-    with pad rows sliced off and (optionally) bf16 accumulation."""
-    rows = shape[0]
-    F = rows // _BRICK_PAD
-    real = _BRICK * F
-    acc_dtype = jnp.bfloat16 if SCATTER_BF16 else jnp.float32
-    grad = jnp.zeros((real, shape[1]), acc_dtype).at[:, idx].add(
-        g[:real].astype(acc_dtype)
-    ).astype(jnp.float32)
-    return jnp.concatenate(
-        [grad, jnp.zeros((rows - real, shape[1]), jnp.float32)], axis=0
-    )
-
-
-@jax.custom_vjp
-def _gather_cols(tables, idx):
-    """Brick-column gather with mixed-precision autodiff: the forward
-    gathers a bf16 SHADOW of the f32 table (halves descriptor payloads —
-    measured 2x), while the backward scatter-adds through _scatter_cols
-    (pad rows dropped, bf16 payload). Linear in ``tables``, so the custom
-    VJP is exact."""
-    return _split_take(tables.astype(jnp.bfloat16), idx)
-
-
-def _gather_cols_fwd(tables, idx):
-    return _gather_cols(tables, idx), (idx, tables.shape)
-
-
-def _gather_cols_bwd(res, g):
-    idx, shape = res
-    return _scatter_cols(g, idx, shape), None
-
-
-_gather_cols.defvjp(_gather_cols_fwd, _gather_cols_bwd)
 
 
 # backward-compaction capacity: scatter slots per device = slack * N / D
@@ -329,7 +313,7 @@ _TP_BWD_SLACK = 1.5
 
 
 @functools.lru_cache(maxsize=None)
-def _tp_gather_cols(axis_name: str, n_shards: int):
+def _tp_gather_cols(axis_name: str, n_shards: int, cell: bool = True):
     """Tensor-parallel brick gather for COLUMN-SHARDED tables.
 
     Inside a ``shard_map`` over mesh axis ``axis_name``, each device holds a
@@ -371,19 +355,18 @@ def _tp_gather_cols(axis_name: str, n_shards: int):
         F = shape[0] // _BRICK_PAD
         li = idx - jax.lax.axis_index(axis_name) * shape[1]
         own = (li >= 0) & (li < shape[1])
-        # same payload trimming as the single-chip path: the scatter is
-        # byte-bound, the cotangent is bf16-valued, pad rows are structural
-        # zeros; with SCATTER_CELL the payload further compacts to the 8F
-        # nonzero cell rows (128 B vs 432 at F=8) and the brick layout is
-        # rebuilt per LOCAL column by the incidence contraction — the
-        # transform mixes nothing across columns, so it applies unchanged
-        # to a column shard.
+        # same payload trimming as the single-chip path: the cotangent is
+        # bf16-valued, pad rows are structural zeros; with cell=True the
+        # payload further compacts to the 8F nonzero cell rows (128 B vs
+        # 432 at F=8) and the brick layout is rebuilt per LOCAL column by
+        # the incidence contraction — the transform mixes nothing across
+        # columns, so it applies unchanged to a column shard.
         acc = jnp.bfloat16 if SCATTER_BF16 else jnp.float32
         real = _BRICK * F
         pad = jnp.zeros((shape[0] - real, shape[1]), jnp.float32)
         cap = min(-(-int(n * _TP_BWD_SLACK / n_shards) // 128) * 128, n)
 
-        if SCATTER_CELL:
+        if cell:
             gf = _compact_to_cell(g, loc, F).astype(acc)
             p = (loc[0] * 2 + loc[1]) * 2 + loc[2]
             tgt_all = jnp.clip(li * 8 + p, 0, 8 * shape[1] - 1)
@@ -413,7 +396,7 @@ def _tp_gather_cols(axis_name: str, n_shards: int):
             grad = full(None)
         else:
             grad = jax.lax.cond(jnp.sum(own) <= cap, compact, full, None)
-        if SCATTER_CELL:
+        if cell:
             cellr = grad.astype(jnp.float32).reshape(8, F, shape[1], 8)
             grad = jnp.einsum("qfcp,epq->efc", cellr, _cell_incidence())
             grad = grad.reshape(real, shape[1])
@@ -490,7 +473,7 @@ _TP_A2A_SLACK = 2.0
 
 
 @functools.lru_cache(maxsize=None)
-def tp_gather_cols_a2a(axis_name: str, n_shards: int):
+def tp_gather_cols_a2a(axis_name: str, n_shards: int, cell: bool = True):
     """Descriptor-sharded tensor-parallel brick gather (all_to_all routing).
 
     PROTOTYPE for the pod-scale 2D sharding (VERDICT round-2 item 8): the
@@ -592,7 +575,7 @@ def tp_gather_cols_a2a(axis_name: str, n_shards: int):
             jnp.any(~valid).astype(jnp.int32), axis_name
         ) > 0
 
-        if SCATTER_CELL:
+        if cell:
             gc = _compact_to_cell(g, loc, F).astype(acc)
             p = (loc[0] * 2 + loc[1]) * 2 + loc[2]
             tcid = li * 8 + p
@@ -632,7 +615,7 @@ def tp_gather_cols_a2a(axis_name: str, n_shards: int):
             ].add(g_all * own_all.astype(acc)[None, :])
 
         grad = jax.lax.cond(overflow, fallback, main, None)
-        if SCATTER_CELL:
+        if cell:
             cellr = grad.astype(jnp.float32).reshape(8, F, c_local, 8)
             grad = jnp.einsum("qfcp,epq->efc", cellr, _cell_incidence())
             grad = grad.reshape(real, c_local)
@@ -728,20 +711,25 @@ def hash_encode(tables, x, config: HashGridConfig,
     if n_oh < L:
         idx = jnp.stack(ids[n_oh:]).reshape(-1)  # [(L - n_oh) * N]
         loc_s = local[:, n_oh:, :].reshape(3, -1)
+        cell = SCATTER_ROUTE == "cell"
         if model_axis is not None and descriptor_sharding:
             parts.append(
-                tp_gather_cols_a2a(model_axis, n_shards)(tables, idx, loc_s)
+                tp_gather_cols_a2a(model_axis, n_shards, cell)(
+                    tables, idx, loc_s
+                )
             )
         elif model_axis is not None:
             parts.append(
-                _tp_gather_cols(model_axis, n_shards)(tables, idx, loc_s)
-            )
-        elif SCATTER_CELL:
-            parts.append(
-                _gather_cols_cell(NB, n_oh * NB)(tables, idx, loc_s)
+                _tp_gather_cols(model_axis, n_shards, cell)(
+                    tables, idx, loc_s
+                )
             )
         else:
-            parts.append(_gather_cols(tables, idx))
+            parts.append(
+                _gather_scattered(NB, n_oh * NB, SCATTER_ROUTE)(
+                    tables, idx, loc_s
+                )
+            )
     cols = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
     # [32*F, L*N] bf16, level-major (one-hot levels are the prefix)
     g = cols.reshape(_BRICK_PAD, F, L * n).astype(jnp.float32)

@@ -19,8 +19,9 @@ HBM traffic: cotangents read ~once (plus chunk-boundary overlap), output
 written once — bytes at HBM speed instead of scatter-emitter speed. MXU
 work is ~2 * 64 * NCELL * CHUNK-overlap FLOPs — noise.
 
-Used by ops/hash_grid._scatter_cells when SCATTER_PALLAS is on (TPU only;
-tests run the kernel in interpret mode).
+Used by ops/hash_grid._segsum_bricks when SCATTER_ROUTE="segsum" — running
+directly on the 27F-row brick columns, so no cell compaction or incidence
+transform is needed (TPU only; tests run the kernel in interpret mode).
 """
 
 from __future__ import annotations
@@ -37,9 +38,13 @@ CH = 512  # descriptors per DMA chunk
 
 
 def _segsum_kernel(starts_ref, gp_hbm, id_hbm, out_ref, gp_buf, id_buf, sem):
-    """One tile: accumulate its sorted-descriptor range into [TILE, F8]."""
+    """One tile: accumulate its sorted-descriptor range into [TILE, R]."""
     t = pl.program_id(0)
-    s = starts_ref[t]
+    # chunk starts are aligned DOWN to CH multiples: Mosaic requires the DMA
+    # slice start to be divisible by the sublane tiling, and descriptors
+    # before this tile's true range fall out of the one-hot anyway (their
+    # sorted ids are < base). Costs at most one CH-chunk of overlap per tile.
+    s = (starts_ref[t] // CH) * CH
     e = starts_ref[t + 1]
     out_ref[:] = jnp.zeros_like(out_ref)
     base = t * TILE
@@ -72,11 +77,13 @@ def sorted_segment_sum(gc, cid, n_cells: int, interpret: bool = False):
     """Segment-sum cotangent columns into table cells without a scatter.
 
     Args:
-      gc: [F8, M] bf16 cotangent columns (cell-compacted rows).
-      cid: [M] int32 cell ids in [0, n_cells).
-      n_cells: table cell count; padded up to a TILE multiple internally.
+      gc: [R, M] bf16 cotangent columns — R is any row count (8F cell-
+        compacted rows, or the full 27F brick rows: running directly on
+        brick columns skips the cell compact + incidence transform).
+      cid: [M] int32 segment ids in [0, n_cells) (cell or brick-column ids).
+      n_cells: segment count; padded up to a TILE multiple internally.
 
-    Returns: [F8, n_cells] f32 accumulated gradients.
+    Returns: [R, n_cells] f32 accumulated gradients.
     """
     F8, M = gc.shape
     nc_pad = -(-n_cells // TILE) * TILE

@@ -143,29 +143,21 @@ def main():
     )
     print(f"pipeline vs brick-scatter max rel err: {errn:.2e}")
 
-    # Pallas zero-scatter route: sort + per-tile one-hot MXU segment sum
-    # (ops/scatter_pallas.py), then the same constant transform
+    # Pallas zero-scatter route ON THE RAW BRICK COLUMNS: sort by brick id
+    # + per-tile one-hot MXU segment sum (ops/scatter_pallas.py). No cell
+    # compact, no incidence transform — the 27F-row payload rides the MXU
+    # accumulation directly (payload bytes are HBM-speed, cheap; it's the
+    # per-descriptor scatter floor this route dodges).
     from nerf_vo_tpu.ops.scatter_pallas import sorted_segment_sum
 
-    def pallas_pipeline(gg, i, lc):
-        t = gg[: 27 * F].reshape(3, 3, 3, F, N)
-        lx, ly, lz = lc[0], lc[1], lc[2]
-        t = jnp.where(lx[None, None, None, None], t[1:3], t[0:2])
-        t = jnp.where(ly[None, None, None, None], t[:, 1:3], t[:, 0:2])
-        t = jnp.where(lz[None, None, None, None], t[:, :, 1:3], t[:, :, 0:2])
-        gc2 = t.reshape(8 * F, N)
-        pp = (lx * 2 + ly) * 2 + lz
-        cid = i * 8 + pp.astype(jnp.int32)
-        cell = sorted_segment_sum(
-            gc2, cid, 8 * C, interpret=jax.default_backend() != "tpu"
+    def pallas_brick(gg, i):
+        return sorted_segment_sum(
+            gg[: 27 * F], i, C, interpret=jax.default_backend() != "tpu"
         )
-        cellr = cell.reshape(8, F, C, 8)
-        return jnp.einsum("qfcp,epq->efc", cellr, R).reshape(27 * F, C)
 
-    lci = loc.astype(bool)
     got2 = timeit(
-        "compact + PALLAS segsum + transform",
-        lambda: jax.jit(pallas_pipeline)(g16, idx, lci),
+        "PALLAS brick segsum (sort + one-hot MXU)",
+        lambda: jax.jit(pallas_brick)(g16, idx),
         N,
     )
     errn2 = float(
@@ -180,8 +172,11 @@ def main():
             axis=1
         ).T
     )
-    timeit("  sort + permute-take bf16 (stage)",
-           lambda: sortperm(g16[:64], idx), N)
+    timeit("  sort + permute-take bf16 216-row (stage)",
+           lambda: sortperm(g16[:216], idx), N)
+    timeit("  sort-only (stage)",
+           lambda: jax.jit(lambda i: jax.lax.sort_key_val(
+               i, jnp.arange(N, dtype=jnp.int32))[1])(idx), N)
 
 
 if __name__ == "__main__":

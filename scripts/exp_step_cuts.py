@@ -76,17 +76,40 @@ def main():
     tc = TrainerConfig(rays_per_batch=4096, max_iterations=8192)
     base = NerfactoConfig(num_images=K)
 
-    time_variant("baseline", base, tc, buf, K)
+    time_variant("baseline (route=%s)" % hash_grid.SCATTER_ROUTE,
+                 base, tc, buf, K)
 
-    # kill table grads + backward scatter: gather a stop-gradded table
-    orig = hash_grid._gather_cols
-    hash_grid._gather_cols = lambda tables, idx: hash_grid._split_take(
-        jax.lax.stop_gradient(tables).astype(jnp.bfloat16), idx
-    )
+    # in-step comparison of the scattered-level backward routes
+    for route in ("brick", "cell", "segsum"):
+        if route == hash_grid.SCATTER_ROUTE:
+            continue
+        old_route = hash_grid.SCATTER_ROUTE
+        hash_grid.SCATTER_ROUTE = route
+        try:
+            time_variant(f"route={route}", base, tc, buf, K)
+        except Exception as e:  # segsum may fail to compile on some stacks
+            print(f"route={route}: FAILED ({type(e).__name__}: {e})",
+                  flush=True)
+        finally:
+            hash_grid.SCATTER_ROUTE = old_route
+
+    # kill table grads + backward scatter: gather a stop-gradded table.
+    # NOTE the patch target: hash_encode routes scattered levels through
+    # the _gather_scattered FACTORY (patching _gather_cols, as this script
+    # did before 2026-08-19, was a no-op — the "frozen" rows in
+    # tpu_runs/exp_step_cuts.log measured the live backward).
+    orig = hash_grid._gather_scattered
+
+    def frozen_factory(n_bricks, base_col, route):
+        return lambda tables, idx, loc: hash_grid._split_take(
+            jax.lax.stop_gradient(tables).astype(jnp.bfloat16), idx
+        )
+
+    hash_grid._gather_scattered = frozen_factory
     try:
         time_variant("frozen tables (no bwd scatter)", base, tc, buf, K)
     finally:
-        hash_grid._gather_cols = orig
+        hash_grid._gather_scattered = orig
 
     time_variant(
         "field 2x16",
@@ -110,9 +133,7 @@ def main():
     )
 
     # attribute the non-scatter remainder: frozen tables + one more cut each
-    hash_grid._gather_cols = lambda tables, idx: hash_grid._split_take(
-        jax.lax.stop_gradient(tables).astype(jnp.bfloat16), idx
-    )
+    hash_grid._gather_scattered = frozen_factory
     try:
         time_variant(
             "frozen + no normals",
@@ -143,7 +164,7 @@ def main():
             dataclasses.replace(tc, optimize_extrinsics=False), buf, K,
         )
     finally:
-        hash_grid._gather_cols = orig
+        hash_grid._gather_scattered = orig
 
 
 if __name__ == "__main__":

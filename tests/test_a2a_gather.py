@@ -49,7 +49,7 @@ def _sharded_loss_grad(tables, idx, loc, W):
 def _reference_loss_grad(tables, idx, loc, W):
     """Single-device reference through the cell-granular gather (one level
     spanning the whole table: n_bricks=C, base_col=0)."""
-    gfn = hg._gather_cols_cell(C, 0)
+    gfn = hg._gather_scattered(C, 0, "cell")
 
     def f(t):
         return jnp.sum(gfn(t, idx, loc).astype(jnp.float32) * W)

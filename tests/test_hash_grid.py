@@ -83,31 +83,36 @@ def test_gradient_flows_to_tables(rng):
     assert np.abs(np.asarray(g)).sum() > 0
 
 
-def test_cell_scatter_matches_brick_scatter(rng):
-    """The cell-granular backward (SCATTER_CELL: compact to the 8 nonzero
-    corner rows, scatter 8F-row cell columns, transform back) produces the
-    same table gradient as the brick-column scatter — exactly the same
-    cotangents, different accumulation route (f32 both, SCATTER_BF16 off)."""
+def test_scatter_routes_agree(rng):
+    """All SCATTER_ROUTE backwards (brick scatter / cell-granular scatter /
+    Pallas sorted segsum) produce the same table gradient — exactly the
+    same cotangents, different accumulation routes (f32, SCATTER_BF16
+    off)."""
     tables = hash_grid.init_tables(jax.random.PRNGKey(0), CFG)
     x = jnp.asarray(rng.uniform(0, 1, size=(64, 3)), jnp.float32)
     co = jnp.asarray(rng.normal(size=(64, CFG.output_dim)), jnp.float32)
 
-    def grad_with(cell, bf16):
-        old = hash_grid.SCATTER_CELL, hash_grid.SCATTER_BF16
-        hash_grid.SCATTER_CELL, hash_grid.SCATTER_BF16 = cell, bf16
+    def grad_with(route, bf16):
+        old = hash_grid.SCATTER_ROUTE, hash_grid.SCATTER_BF16
+        hash_grid.SCATTER_ROUTE, hash_grid.SCATTER_BF16 = route, bf16
         try:
             f = lambda t: jnp.sum(hash_grid.hash_encode(t, x, CFG) * co)
             return np.asarray(jax.grad(f)(tables))
         finally:
-            hash_grid.SCATTER_CELL, hash_grid.SCATTER_BF16 = old
+            hash_grid.SCATTER_ROUTE, hash_grid.SCATTER_BF16 = old
 
-    g_cell = grad_with(True, False)
-    g_brick = grad_with(False, False)
+    g_brick = grad_with("brick", False)
     assert np.abs(g_brick).sum() > 0
-    np.testing.assert_allclose(g_cell, g_brick, rtol=1e-5, atol=1e-8)
-    # bf16 accumulation stays close to the f32 route on both paths
     np.testing.assert_allclose(
-        grad_with(True, True), g_brick, rtol=0.05, atol=1e-6
+        grad_with("cell", False), g_brick, rtol=1e-5, atol=1e-8
+    )
+    # segsum accumulates in f32 on the MXU from the bf16 payload
+    np.testing.assert_allclose(
+        grad_with("segsum", False), g_brick, rtol=1e-4, atol=1e-7
+    )
+    # bf16 accumulation stays close to the f32 route
+    np.testing.assert_allclose(
+        grad_with("cell", True), g_brick, rtol=0.05, atol=1e-6
     )
 
 
@@ -136,8 +141,9 @@ def test_tp_compact_branch_matches_replicated(rng):
     cols = tables.shape[1]
 
     def tp_grad(cell):
-        old = hash_grid.SCATTER_CELL, hash_grid.SCATTER_BF16
-        hash_grid.SCATTER_CELL, hash_grid.SCATTER_BF16 = cell, False
+        old = hash_grid.SCATTER_ROUTE, hash_grid.SCATTER_BF16
+        hash_grid.SCATTER_ROUTE = "cell" if cell else "brick"
+        hash_grid.SCATTER_BF16 = False
         try:
             def local(tl):
                 f = lambda t: jnp.sum(
@@ -152,16 +158,17 @@ def test_tp_compact_branch_matches_replicated(rng):
             )(tables)
             return np.asarray(g)
         finally:
-            hash_grid.SCATTER_CELL, hash_grid.SCATTER_BF16 = old
+            hash_grid.SCATTER_ROUTE, hash_grid.SCATTER_BF16 = old
 
     def ref_grad(cell):
-        old = hash_grid.SCATTER_CELL, hash_grid.SCATTER_BF16
-        hash_grid.SCATTER_CELL, hash_grid.SCATTER_BF16 = cell, False
+        old = hash_grid.SCATTER_ROUTE, hash_grid.SCATTER_BF16
+        hash_grid.SCATTER_ROUTE = "cell" if cell else "brick"
+        hash_grid.SCATTER_BF16 = False
         try:
             f = lambda t: jnp.sum(hash_grid.hash_encode(t, x, cfg) * co)
             return np.asarray(jax.grad(f)(tables))
         finally:
-            hash_grid.SCATTER_CELL, hash_grid.SCATTER_BF16 = old
+            hash_grid.SCATTER_ROUTE, hash_grid.SCATTER_BF16 = old
 
     # the compact cond arm must actually be live at this size
     cap = min(-(-int(4096 * (cfg.n_levels - 1)
