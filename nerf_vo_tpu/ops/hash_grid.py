@@ -153,27 +153,28 @@ def _split_take(tables, idx):
 #     restore full-f32 accumulation (exact-parity debugging).
 SCATTER_BF16 = True
 
-# Backward route for the scattered (hashed) levels' table gradients — the
-# dominant per-descriptor cost of the train step. Candidates, measured at
-# the production descriptor count (393K) on v5e (tpu_runs/exp_scatter4.log,
-# 2026-08-19):
-#   "brick"  — bf16 column scatter-add of the 27F-row brick cotangents
-#              (10.88 ms, 27.7 ns/desc: the XLA scatter emitter has a
-#              per-DESCRIPTOR floor at these widths, not a byte bound).
-#   "cell"   — compact each column to its cell's 8F nonzero rows (W
-#              zero-weights corners outside the sample's 2x2x2 cell),
-#              scatter 128-B columns into a per-level cell table, rebuild
-#              the brick layout with a constant [27,8,8] incidence
-#              contraction. Exact; 3.4x fewer payload bytes — but the
-#              scatter floor is per-descriptor, so the bare scatter only
-#              drops to 8.56 ms and the compact+transform overhead brings
-#              the full pipeline to 11.78 ms: NOT a win over "brick".
-#   "segsum" — ZERO scatters: sort descriptors by brick column, then a
-#              Pallas kernel accumulates per-tile one-hot MXU matmuls of
-#              the full 27F-row payload (ops/scatter_pallas.py). Runs on
-#              the raw brick columns, so it needs no compact/transform.
-#              Pending its hardware gate (scripts/exp_scatter4.py).
-SCATTER_ROUTE = "cell"
+# Backward route decision for the scattered (hashed) levels' table
+# gradients — the dominant per-descriptor cost of the train step. Three
+# candidates were built and measured in-step at the production config on
+# v5e (tpu_runs/exp_step_cuts.log + exp_scatter4.log, 2026-08-19):
+#   brick scatter (KEPT) — bf16 column scatter-add of the 27F-row brick
+#     cotangents: 29.44 ms/step in-step; 10.73 ms / 27.3 ns/desc in
+#     isolation at 393K descriptors.
+#   cell-granular scatter (deleted) — compact to the 8F nonzero cell
+#     rows, scatter 128-B columns, rebuild bricks with a [27,8,8]
+#     incidence contraction: 3.4x fewer payload bytes but the emitter is
+#     PER-DESCRIPTOR-floor-bound (~21-27 ns/desc at any width), so the
+#     bare scatter only dropped to 8.3 ms and the compact+transform
+#     overhead made it 32.25 ms/step — a 2.8 ms in-step LOSS. (The
+#     compaction survives in tp_gather_cols_a2a, where it shrinks the
+#     all_to_all ICI payload — a real byte-bound channel.)
+#   Pallas sorted segsum (deleted) — sort by brick column + per-tile
+#     one-hot MXU accumulation, zero scatters: the kernel itself cost
+#     ~2.2 ms, but XLA's sort+permute pre-pass cost 10.2 ms (~26
+#     ns/desc — the SAME per-descriptor floor; on this chip every
+#     reordering primitive except plain gathers sits at it). 32.0
+#     ms/step. The kernel lived at ops/scatter_pallas.py (deleted with
+#     its tests, 2026-08-19) if ever needed for pre-sorted inputs.
 
 
 def _cell_incidence():
@@ -203,92 +204,35 @@ def _compact_to_cell(g, loc, F):
     return t.reshape(8 * F, M)
 
 
-def _scatter_cells(g, idx, loc, shape, n_bricks, base_col):
-    """Cell-granular table gradient (SCATTER_ROUTE="cell"): per scattered
-    level, scatter [8F]-row cotangent columns into a cell table and
-    transform back to brick layout. Returns the scattered-level span's
-    [rows, total_cols - base_col] f32 gradient."""
-    rows, total_cols = shape
-    F = rows // _BRICK_PAD
-    M = idx.shape[0]
-    Ls = (total_cols - base_col) // n_bricks
-    N = M // Ls
-    acc = jnp.bfloat16 if SCATTER_BF16 else jnp.float32
-    gc = _compact_to_cell(g, loc, F).astype(acc)
-    p = (loc[0] * 2 + loc[1]) * 2 + loc[2]
-    R = _cell_incidence()
-    parts = []
-    for l in range(Ls):
-        sl = slice(l * N, (l + 1) * N)
-        cid = (idx[sl] - (base_col + l * n_bricks)) * 8 + p[sl]
-        cell = jnp.zeros((8 * F, 8 * n_bricks), acc).at[:, cid].add(
-            gc[:, sl]
-        )
-        cellr = cell.astype(jnp.float32).reshape(8, F, n_bricks, 8)
-        parts.append(
-            jnp.einsum("qfcp,epq->efc", cellr, R).reshape(
-                _BRICK * F, n_bricks
-            )
-        )
-    return parts[0] if Ls == 1 else jnp.concatenate(parts, axis=1)
-
-
-def _scatter_bricks(g, idx, shape, base_col):
-    """Plain bf16 column scatter-add of the 27F-row brick cotangents
-    (SCATTER_ROUTE="brick") over the scattered-level span."""
-    rows, total_cols = shape
-    F = rows // _BRICK_PAD
-    real = _BRICK * F
-    acc = jnp.bfloat16 if SCATTER_BF16 else jnp.float32
-    return jnp.zeros((real, total_cols - base_col), acc).at[
-        :, idx - base_col
-    ].add(g[:real].astype(acc)).astype(jnp.float32)
-
-
-def _segsum_bricks(g, idx, shape, base_col):
-    """Zero-scatter table gradient (SCATTER_ROUTE="segsum"): sort the
-    descriptors by brick column and accumulate per-tile one-hot MXU
-    matmuls in a Pallas kernel — runs on the raw 27F-row brick columns,
-    so no cell compaction or incidence transform is needed."""
-    from nerf_vo_tpu.ops.scatter_pallas import sorted_segment_sum
-
-    rows, total_cols = shape
-    F = rows // _BRICK_PAD
-    real = _BRICK * F
-    return sorted_segment_sum(
-        g[:real].astype(jnp.bfloat16), idx - base_col, total_cols - base_col,
-        interpret=jax.default_backend() != "tpu",
-    )
-
-
 @functools.lru_cache(maxsize=None)
-def _gather_scattered(n_bricks: int, base_col: int, route: str):
+def _gather_scattered(n_bricks: int, base_col: int):
     """Brick-column gather for the SCATTERED levels, with mixed-precision
     autodiff: the forward gathers a bf16 SHADOW of the f32 table (halves
-    descriptor payloads — measured 2x); the backward builds the table
-    gradient via ``route`` (see SCATTER_ROUTE). idx must hold the scattered
-    levels' global column ids (the suffix [base_col, total_cols) of the
-    table, level-major); loc their [3, M] base-corner bits
-    (non-differentiable). Linear in ``tables``, so the custom VJP is
-    exact up to the accumulation dtype."""
+    descriptor payloads — measured 2x); the backward is a plain bf16
+    column scatter-add of the 27F-row brick cotangents over the
+    scattered-level span (the measured winner — see the route-decision
+    note above). idx must hold the scattered levels' global column ids
+    (the suffix [base_col, total_cols) of the table, level-major); loc
+    their [3, M] base-corner bits (non-differentiable, kept for interface
+    stability with the TP gathers). Linear in ``tables``, so the custom
+    VJP is exact up to the accumulation dtype."""
 
     @jax.custom_vjp
     def gather(tables, idx, loc):
         return _split_take(tables.astype(jnp.bfloat16), idx)
 
     def fwd(tables, idx, loc):
-        return gather(tables, idx, loc), (idx, loc, tables.shape)
+        return gather(tables, idx, loc), (idx, tables.shape)
 
     def bwd(res, g):
-        idx, loc, shape = res
+        idx, shape = res
         rows, total_cols = shape
-        if route == "cell":
-            grad_s = _scatter_cells(g, idx, loc, shape, n_bricks, base_col)
-        elif route == "segsum":
-            grad_s = _segsum_bricks(g, idx, shape, base_col)
-        else:
-            grad_s = _scatter_bricks(g, idx, shape, base_col)
-        real = grad_s.shape[0]
+        F = rows // _BRICK_PAD
+        real = _BRICK * F
+        acc = jnp.bfloat16 if SCATTER_BF16 else jnp.float32
+        grad_s = jnp.zeros((real, total_cols - base_col), acc).at[
+            :, idx - base_col
+        ].add(g[:real].astype(acc)).astype(jnp.float32)
         grad_s = jnp.concatenate(
             [grad_s, jnp.zeros((rows - real, grad_s.shape[1]), jnp.float32)],
             axis=0,
@@ -313,7 +257,7 @@ _TP_BWD_SLACK = 1.5
 
 
 @functools.lru_cache(maxsize=None)
-def _tp_gather_cols(axis_name: str, n_shards: int, cell: bool = True):
+def _tp_gather_cols(axis_name: str, n_shards: int):
     """Tensor-parallel brick gather for COLUMN-SHARDED tables.
 
     Inside a ``shard_map`` over mesh axis ``axis_name``, each device holds a
@@ -356,25 +300,19 @@ def _tp_gather_cols(axis_name: str, n_shards: int, cell: bool = True):
         li = idx - jax.lax.axis_index(axis_name) * shape[1]
         own = (li >= 0) & (li < shape[1])
         # same payload trimming as the single-chip path: the cotangent is
-        # bf16-valued, pad rows are structural zeros; with cell=True the
-        # payload further compacts to the 8F nonzero cell rows (128 B vs
-        # 432 at F=8) and the brick layout is rebuilt per LOCAL column by
-        # the incidence contraction — the transform mixes nothing across
-        # columns, so it applies unchanged to a column shard.
+        # bf16-valued, pad rows are structural zeros. The local scatter is
+        # the plain 27F-row brick scatter — the cell-granular compaction
+        # measured as an in-step LOSS on the per-descriptor-floor-bound
+        # emitter (see the route-decision note above); it survives only in
+        # tp_gather_cols_a2a, whose all_to_all payload is byte-bound.
         acc = jnp.bfloat16 if SCATTER_BF16 else jnp.float32
         real = _BRICK * F
         pad = jnp.zeros((shape[0] - real, shape[1]), jnp.float32)
         cap = min(-(-int(n * _TP_BWD_SLACK / n_shards) // 128) * 128, n)
 
-        if cell:
-            gf = _compact_to_cell(g, loc, F).astype(acc)
-            p = (loc[0] * 2 + loc[1]) * 2 + loc[2]
-            tgt_all = jnp.clip(li * 8 + p, 0, 8 * shape[1] - 1)
-            out_cols = 8 * shape[1]
-        else:
-            gf = g[:real].astype(acc)
-            tgt_all = jnp.clip(li, 0, shape[1] - 1)
-            out_cols = shape[1]
+        gf = g[:real].astype(acc)
+        tgt_all = jnp.clip(li, 0, shape[1] - 1)
+        out_cols = shape[1]
 
         def compact(_):
             # stable argsort of the (negated) ownership mask lists owned
@@ -396,10 +334,6 @@ def _tp_gather_cols(axis_name: str, n_shards: int, cell: bool = True):
             grad = full(None)
         else:
             grad = jax.lax.cond(jnp.sum(own) <= cap, compact, full, None)
-        if cell:
-            cellr = grad.astype(jnp.float32).reshape(8, F, shape[1], 8)
-            grad = jnp.einsum("qfcp,epq->efc", cellr, _cell_incidence())
-            grad = grad.reshape(real, shape[1])
         return jnp.concatenate(
             [grad.astype(jnp.float32), pad], axis=0
         ), None, None
@@ -473,7 +407,7 @@ _TP_A2A_SLACK = 2.0
 
 
 @functools.lru_cache(maxsize=None)
-def tp_gather_cols_a2a(axis_name: str, n_shards: int, cell: bool = True):
+def tp_gather_cols_a2a(axis_name: str, n_shards: int):
     """Descriptor-sharded tensor-parallel brick gather (all_to_all routing).
 
     PROTOTYPE for the pod-scale 2D sharding (VERDICT round-2 item 8): the
@@ -494,7 +428,7 @@ def tp_gather_cols_a2a(axis_name: str, n_shards: int, cell: bool = True):
     cost is the M-descriptor unsort take from the compact response buffer.
 
     Backward: the cotangent routes to owners the same way (payload
-    compacted to the 8F cell rows under SCATTER_CELL) and each owner
+    compacted to the 8F nonzero cell rows) and each owner
     scatters only what it received (~slack·N/D descriptors).
 
     Overflow of any per-pair capacity falls back (uniform lax.cond over a
@@ -575,15 +509,14 @@ def tp_gather_cols_a2a(axis_name: str, n_shards: int, cell: bool = True):
             jnp.any(~valid).astype(jnp.int32), axis_name
         ) > 0
 
-        if cell:
-            gc = _compact_to_cell(g, loc, F).astype(acc)
-            p = (loc[0] * 2 + loc[1]) * 2 + loc[2]
-            tcid = li * 8 + p
-            out_cols = 8 * c_local
-        else:
-            gc = g[:real].astype(acc)
-            tcid = li
-            out_cols = c_local
+        # cell-granular compaction: the routed cotangent moves over ICI
+        # (the all_to_all), a genuinely BYTE-bound channel — compacting to
+        # the 8F nonzero cell rows shrinks the payload 3.4x (128 B vs 432
+        # at F=8). The brick layout is rebuilt locally per owned column.
+        gc = _compact_to_cell(g, loc, F).astype(acc)
+        p = (loc[0] * 2 + loc[1]) * 2 + loc[2]
+        tcid = li * 8 + p
+        out_cols = 8 * c_local
 
         def main(_):
             pay = jnp.zeros((gc.shape[0], D * cap + 1), acc).at[:, slot].set(
@@ -615,10 +548,9 @@ def tp_gather_cols_a2a(axis_name: str, n_shards: int, cell: bool = True):
             ].add(g_all * own_all.astype(acc)[None, :])
 
         grad = jax.lax.cond(overflow, fallback, main, None)
-        if cell:
-            cellr = grad.astype(jnp.float32).reshape(8, F, c_local, 8)
-            grad = jnp.einsum("qfcp,epq->efc", cellr, _cell_incidence())
-            grad = grad.reshape(real, c_local)
+        cellr = grad.astype(jnp.float32).reshape(8, F, c_local, 8)
+        grad = jnp.einsum("qfcp,epq->efc", cellr, _cell_incidence())
+        grad = grad.reshape(real, c_local)
         pad = jnp.zeros((rows - real, c_local), jnp.float32)
         return jnp.concatenate(
             [grad.astype(jnp.float32), pad], axis=0
@@ -711,24 +643,17 @@ def hash_encode(tables, x, config: HashGridConfig,
     if n_oh < L:
         idx = jnp.stack(ids[n_oh:]).reshape(-1)  # [(L - n_oh) * N]
         loc_s = local[:, n_oh:, :].reshape(3, -1)
-        cell = SCATTER_ROUTE == "cell"
         if model_axis is not None and descriptor_sharding:
             parts.append(
-                tp_gather_cols_a2a(model_axis, n_shards, cell)(
-                    tables, idx, loc_s
-                )
+                tp_gather_cols_a2a(model_axis, n_shards)(tables, idx, loc_s)
             )
         elif model_axis is not None:
             parts.append(
-                _tp_gather_cols(model_axis, n_shards, cell)(
-                    tables, idx, loc_s
-                )
+                _tp_gather_cols(model_axis, n_shards)(tables, idx, loc_s)
             )
         else:
             parts.append(
-                _gather_scattered(NB, n_oh * NB, SCATTER_ROUTE)(
-                    tables, idx, loc_s
-                )
+                _gather_scattered(NB, n_oh * NB)(tables, idx, loc_s)
             )
     cols = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
     # [32*F, L*N] bf16, level-major (one-hot levels are the prefix)

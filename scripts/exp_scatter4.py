@@ -143,29 +143,12 @@ def main():
     )
     print(f"pipeline vs brick-scatter max rel err: {errn:.2e}")
 
-    # Pallas zero-scatter route ON THE RAW BRICK COLUMNS: sort by brick id
-    # + per-tile one-hot MXU segment sum (ops/scatter_pallas.py). No cell
-    # compact, no incidence transform — the 27F-row payload rides the MXU
-    # accumulation directly (payload bytes are HBM-speed, cheap; it's the
-    # per-descriptor scatter floor this route dodges).
-    from nerf_vo_tpu.ops.scatter_pallas import sorted_segment_sum
-
-    def pallas_brick(gg, i):
-        return sorted_segment_sum(
-            gg[: 27 * F], i, C, interpret=jax.default_backend() != "tpu"
-        )
-
-    got2 = timeit(
-        "PALLAS brick segsum (sort + one-hot MXU)",
-        lambda: jax.jit(pallas_brick)(g16, idx),
-        N,
-    )
-    errn2 = float(
-        jnp.max(jnp.abs(got2 - want)) / (jnp.max(jnp.abs(want)) + 1e-30)
-    )
-    print(f"pallas vs brick-scatter max rel err: {errn2:.2e}")
-
-    # stage costs for the pallas route
+    # The Pallas zero-scatter sorted-segsum route was measured here
+    # 2026-08-19 (tpu_runs/exp_scatter4.log): kernel ~2.2 ms but the XLA
+    # sort+permute pre-pass 10.21 ms (~26 ns/desc — the same
+    # per-descriptor floor as the scatter emitter); 12.37 ms total vs
+    # 10.73 ms for the plain brick scatter. Route deleted (see
+    # ops/hash_grid.py route-decision note). Stage cost kept measurable:
     sortperm = jax.jit(
         lambda gg, i: jnp.take(
             gg, jax.lax.sort_key_val(i, jnp.arange(N, dtype=jnp.int32))[1],
@@ -174,9 +157,6 @@ def main():
     )
     timeit("  sort + permute-take bf16 216-row (stage)",
            lambda: sortperm(g16[:216], idx), N)
-    timeit("  sort-only (stage)",
-           lambda: jax.jit(lambda i: jax.lax.sort_key_val(
-               i, jnp.arange(N, dtype=jnp.int32))[1])(idx), N)
 
 
 if __name__ == "__main__":

@@ -76,31 +76,20 @@ def main():
     tc = TrainerConfig(rays_per_batch=4096, max_iterations=8192)
     base = NerfactoConfig(num_images=K)
 
-    time_variant("baseline (route=%s)" % hash_grid.SCATTER_ROUTE,
-                 base, tc, buf, K)
+    time_variant("baseline (brick scatter)", base, tc, buf, K)
 
-    # in-step comparison of the scattered-level backward routes
-    for route in ("brick", "cell", "segsum"):
-        if route == hash_grid.SCATTER_ROUTE:
-            continue
-        old_route = hash_grid.SCATTER_ROUTE
-        hash_grid.SCATTER_ROUTE = route
-        try:
-            time_variant(f"route={route}", base, tc, buf, K)
-        except Exception as e:  # segsum may fail to compile on some stacks
-            print(f"route={route}: FAILED ({type(e).__name__}: {e})",
-                  flush=True)
-        finally:
-            hash_grid.SCATTER_ROUTE = old_route
+    # The in-step backward-route comparison (brick 29.44 / cell 32.25 /
+    # Pallas segsum 31.99 ms, 2026-08-19) is settled: brick won; the cell
+    # and segsum routes were deleted (see ops/hash_grid.py route note).
 
     # kill table grads + backward scatter: gather a stop-gradded table.
     # NOTE the patch target: hash_encode routes scattered levels through
     # the _gather_scattered FACTORY (patching _gather_cols, as this script
-    # did before 2026-08-19, was a no-op — the "frozen" rows in
+    # did before 2026-08-19, was a no-op — the "frozen" rows in early
     # tpu_runs/exp_step_cuts.log measured the live backward).
     orig = hash_grid._gather_scattered
 
-    def frozen_factory(n_bricks, base_col, route):
+    def frozen_factory(n_bricks, base_col):
         return lambda tables, idx, loc: hash_grid._split_take(
             jax.lax.stop_gradient(tables).astype(jnp.bfloat16), idx
         )

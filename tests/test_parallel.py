@@ -162,15 +162,22 @@ def test_tp_matches_dp_with_onehot_level():
     )
 
 
-def test_descriptor_sharding_matches_dp():
+def test_descriptor_sharding_matches_dp(monkeypatch):
     """DP(4) == DS(2 data x 2 model): 2D descriptor sharding — unique rays
     on every device, table lookups routed via all_to_all
     (tp_gather_cols_a2a), one-hot slab cotangents psum'd over the model
     axis, routed table-grad sums rescaled to the group mean. Ray groups
     align with flat DP(4) because the fold index data*n_model + model
     enumerates 0..3, so the updated params must match within scatter-order
-    noise."""
+    noise. f32 accumulation on both sides: the DP reference scatters 27F
+    brick rows while the a2a route scatters 8F cell rows — under bf16 the
+    differing summation orders can flip an Adam step on a near-zero
+    gradient element, which is rounding, not a routing bug."""
     import jax.numpy as jnp
+
+    from nerf_vo_tpu.ops import hash_grid as _hg
+
+    monkeypatch.setattr(_hg, "SCATTER_BF16", False)
 
     from nerf_vo_tpu.mapping import keyframe_buffer as kb
     from nerf_vo_tpu.mapping.trainer import MappingTrainer, TrainerConfig

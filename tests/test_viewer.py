@@ -95,6 +95,13 @@ def test_mapping_stage_publishes_to_viewer(tmp_path, rng):
         mapping_iterations=4, mapping_snapshot_iterations=4,
         rays_per_batch=32, dir_prediction=str(tmp_path),
         viewer=True, viewer_port=0, viewer_render_every=2, viewer_width=8,
+        # publishing mechanics only — shrink the model so the CPU compile
+        # doesn't dominate the fast tier (was ~190 s at production size)
+        mapping_model_overrides=dict(
+            num_proposal_samples=(8,), num_nerf_samples=6,
+            log2_hashmap_size=10, max_res=64, proposal_resolutions=(8,),
+            proposal_distill_points=64,
+        ),
     )
     m = MappingStage(args)
     try:
