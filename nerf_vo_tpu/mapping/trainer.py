@@ -54,7 +54,35 @@ class MappingTrainer:
         self.model = model
         self.config = config
         self.num_keyframes = num_keyframes
-        self.tx = optax.adam(config.learning_rate, eps=config.eps)
+        adam = optax.adam(config.learning_rate, eps=config.eps)
+        mcfg = model.config
+        if (mcfg.proposal_training == "distill"
+                and mcfg.proposal_type == "dense"
+                and model.proposal_fields):
+            # Distilled DENSE proposal grids carry NO gradients (their only
+            # write path is refresh_proposals' slab overwrite), yet a plain
+            # Adam over the full params tree still materializes their zero
+            # cotangents and reads+writes full-size m/v moments every step
+            # — ~100 MB of params -> ~500+ MB of pure HBM overhead at the
+            # production proposal resolutions (128/160). Route them through
+            # set_to_zero(): their grad chain DCEs out of the XLA program,
+            # the moment buffers are never allocated, and apply_updates'
+            # p + 0 folds away in the algebraic simplifier. MLP proposals
+            # (distill loss) and interlevel-trained grids keep real Adam.
+            def _labels(params):
+                return {
+                    k: jax.tree_util.tree_map(
+                        lambda _: "frozen" if k.startswith("proposal_")
+                        else "train"
+                    , v)
+                    for k, v in params.items()
+                }
+
+            self.tx = optax.multi_transform(
+                {"train": adam, "frozen": optax.set_to_zero()}, _labels
+            )
+        else:
+            self.tx = adam
         cam_schedule = optax.exponential_decay(
             init_value=config.camera_learning_rate,
             transition_steps=max(config.max_iterations, 1),

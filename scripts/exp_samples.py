@@ -90,6 +90,16 @@ def main():
         ("32 nerf / mlp 128 prop",
          {"num_nerf_samples": 32, "proposal_type": "mlp",
           "num_proposal_samples": (128,), "proposal_mlp_freqs": (6,)}),
+        # proposal-budget-ONLY cuts (2026-08-19): the nerf-sample cuts above
+        # all failed their quality gates, but they confounded nerf and
+        # proposal budgets. The FINAL sample count is the quality knob;
+        # proposals only place samples — these arms keep the full 48 nerf
+        # samples and cut only the (gradient-free, distilled) proposal
+        # evals, which cost fwd gathers + PDF machinery in-step.
+        ("48 nerf / 96+48 prop", {"num_proposal_samples": (96, 48)}),
+        ("48 nerf / 64+32 prop", {"num_proposal_samples": (64, 32)}),
+        ("48 nerf / 128 prop (one level)",
+         {"num_proposal_samples": (128,)}),
     ]
     if smoke:
         # shrink every arm the same way the mlp smoke does
