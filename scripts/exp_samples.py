@@ -100,6 +100,12 @@ def main():
         ("48 nerf / 64+32 prop", {"num_proposal_samples": (64, 32)}),
         ("48 nerf / 128 prop (one level)",
          {"num_proposal_samples": (128,)}),
+        # the Instant-NGP-path sampler: occupancy-grid empty-space skipping
+        # instead of proposal fields — zero proposal evals and ONE cheap
+        # occupancy lookup per coarse bin. If it holds quality here it is
+        # the natural throughput-first production sampler (it is already
+        # the reference's pyngp mode, SURVEY N5).
+        ("48 nerf / occupancy sampler", {"sampler": "occupancy"}),
     ]
     if smoke:
         # shrink every arm the same way the mlp smoke does

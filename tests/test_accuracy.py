@@ -7,11 +7,14 @@ parts that need no trained weights:
     just a NaN;
   * depth accuracy of the converged field against the analytic scene.
 Thresholds carry a wide margin over observed values so only real
-regressions trip them (observed: ~25-27 dB PSNR at 100 steps, ~0.16 median
-relative depth error at 160 steps at this shrunken CPU configuration;
-random init sits at ~8 dB / ~2.0). Depth converges LATE (0.52 at step 128,
-0.16 at 160 — measured 2026-08-18), so its gate rides a continuation
-fixture in the slow tier; the PSNR gate stays fast-tier at 100 steps.
+regressions trip them (observed with grad_normal_mode="samples" pinned:
+19.4 dB PSNR at 50 steps, 24.7 at 100, ~0.15 median relative depth error
+at 160 steps at this shrunken CPU configuration; random init sits at
+~8 dB / ~2.0). Depth converges LATE (0.77 at step 100, 0.15 at 160 —
+remeasured 2026-08-19), so its gate rides a continuation fixture in the
+slow tier; the PSNR gate stays fast-tier and stops at 50 steps (each
+step costs ~1.1 s of 1-core CPU; 100-step fits put this fixture alone at
+~3.5 min of the fast tier's 10-minute budget).
 """
 
 import jax
@@ -79,6 +82,11 @@ def fitted():
         # stronger depth weighting than the production 1e-3: this gate
         # checks the geometry machinery converges, at 1/30 the step budget
         depth_loss_mult=0.05,
+        # pinned like the grid geometry: the production default flipped to
+        # "surface" on its TPU gate (2026-08-19), which moves this toy
+        # scene's calibration (surface: 22.9 dB @50 but depth 0.250 @160 —
+        # ON the 0.25 gate; samples: 19.4 dB @50, depth 0.153 @160)
+        grad_normal_mode="samples",
     )
     trainer = MappingTrainer(
         NerfactoModel(cfg),
@@ -89,7 +97,7 @@ def fitted():
     )
     state = trainer.init(jax.random.PRNGKey(0))
     key = jax.random.PRNGKey(1)
-    for _ in range(100):
+    for _ in range(50):
         key, sub = jax.random.split(key)
         state, m = trainer.train_step(state, buf, sub)
     return trainer, state, buf, colors, depths, key
@@ -99,7 +107,7 @@ def fitted():
 def fitted_full(fitted):
     """Continue the shared fit to 160 steps (depth convergence needs them)."""
     trainer, state, buf, colors, depths, key = fitted
-    for _ in range(60):
+    for _ in range(110):
         key, sub = jax.random.split(key)
         state, m = trainer.train_step(state, buf, sub)
     return trainer, state, buf, colors, depths
@@ -113,8 +121,9 @@ def test_mapping_psnr_gate(fitted):
     rgb = np.asarray(out["rgb"])
     mse = float(np.mean((rgb - colors[0]) ** 2))
     psnr = -10.0 * np.log10(max(mse, 1e-10))
-    # observed ~25-27 dB at 100 steps; gate far above random init (~8 dB)
-    assert psnr > 16.0, f"mapping PSNR regressed: {psnr:.2f} dB"
+    # observed 19.4 dB at 50 steps (samples mode, 2026-08-19); random init
+    # ~8 dB, broken transforms land below 10 — 14 splits the gap
+    assert psnr > 14.0, f"mapping PSNR regressed: {psnr:.2f} dB"
 
 
 @pytest.mark.slow
@@ -130,7 +139,7 @@ def test_mapping_depth_gate(fitted_full):
     gt = depths[0] * dirlen
     rel = np.abs(pred - gt) / gt
     med = float(np.median(rel))
-    # observed ~0.16 at this shrunken config (16-sample rays in disparity
+    # observed 0.153 at this shrunken config (16-sample rays in disparity
     # spacing bias the expected-depth estimate); gate at 0.25 — a geometry
     # regression lands far above (random init: ~2.0, broken transforms >0.5)
     assert med < 0.25, f"median relative depth error regressed: {med:.3f}"

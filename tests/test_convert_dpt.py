@@ -286,7 +286,11 @@ class TDPT(tnn.Module):
         return oc[5](oc[4](h))
 
 
+@pytest.mark.slow
 def test_dpt_converter_parity(rng):
+    # slow tier (2026-08-19): building the full torch hybrid-ViT reference
+    # net costs ~22 s of the fast tier; the converter's key-layout handling
+    # stays covered fast by test_dpt_converter_rejects_wrong_channels.
     torch.manual_seed(3)
     tnet = TDPT(S // 16, num_channels=1)
     tnet.eval()

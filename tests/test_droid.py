@@ -69,10 +69,16 @@ def test_droid_mechanics(droid_net, rng):
         )
 
 
+@pytest.mark.slow
 def test_droid_mesh_ba_matches_replicated(droid_net, rng):
     """The tracker with a mesh (pixel-sharded frontend BA) follows the
     replicated tracker's trajectory — the solver difference is psum
-    reduction order, amplified only by the GRU/GN recurrence."""
+    reduction order, amplified only by the GRU/GN recurrence.
+
+    Slow tier (2026-08-19): ~29 s, and the op-level mesh-equivalence of the
+    sharded dense BA stays covered fast by
+    test_dense_ba/test_parallel::test_sharded_dense_ba_matches_replicated;
+    this adds only the tracker-level wiring on top."""
     from nerf_vo_tpu.parallel import sharding
 
     net, params = droid_net

@@ -73,29 +73,32 @@ def test_field_forward_positive():
     )
 
 
-def test_render_and_loss_finite(model_and_params):
+def test_loss_and_proposal_grads(model_and_params):
+    """One value_and_grad pass checks the loss/metrics AND that proposal
+    MLP params get gradients from the distill term (the render path is
+    stop-gradient). Merged from two tests: a fwd-only loss compile plus a
+    separate grad compile cost ~60 s of XLA on this 1-core host; the
+    value_and_grad program covers both."""
     model, params = model_and_params
     batch = _batch(8)
-    loss, metrics = model.loss(params, batch, jax.random.PRNGKey(2))
+
+    (loss, metrics), grads = jax.value_and_grad(
+        lambda p: model.loss(p, batch, jax.random.PRNGKey(3)),
+        has_aux=True,
+    )(params)
     assert np.isfinite(float(loss))
     assert "proposal_distill_loss" in metrics
     assert np.isfinite(float(metrics["proposal_distill_loss"]))
     # no interlevel term under distill
     assert "interlevel_loss" not in metrics
-
-
-def test_proposal_grads_flow_only_through_distill(model_and_params):
-    """Proposal MLP params get gradients from the distill term; the render
-    path is stop-gradient (sampling carries no grad)."""
-    model, params = model_and_params
-    batch = _batch(8)
-
-    grads = jax.grad(
-        lambda p: model.loss(p, batch, jax.random.PRNGKey(3))[0]
-    )(params)
     gp = jax.tree_util.tree_leaves(grads["proposal_0"])
     assert all(np.isfinite(np.asarray(g)).all() for g in gp)
     assert any(float(jnp.max(jnp.abs(g))) > 0 for g in gp)
+
+
+def test_proposal_grads_vanish_without_distill(model_and_params):
+    _, params = model_and_params
+    batch = _batch(8)
 
     # with the distill term disabled, proposal grads vanish entirely
     import dataclasses

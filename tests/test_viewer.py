@@ -101,6 +101,9 @@ def test_mapping_stage_publishes_to_viewer(tmp_path, rng):
             num_proposal_samples=(8,), num_nerf_samples=6,
             log2_hashmap_size=10, max_res=64, proposal_resolutions=(8,),
             proposal_distill_points=64,
+            # normals are exercised by test_nerfacto/test_accuracy; dropping
+            # the grad-normal vjp-of-vjp here halves this test's XLA compile
+            predict_normals=False, grad_normal_mode="none",
         ),
     )
     m = MappingStage(args)
