@@ -10,10 +10,24 @@ Differences from the reference, by design:
   * No shared-memory torch tensors or CUDA-IPC — buffers are ordinary JAX
     arrays living in HBM, updated with donated ``.at[].set`` writes (XLA
     performs them in place).
-  * The pixel sampler + ray generator run INSIDE the jitted train step (a
-    couple of gathers), not as a host-side DataManager.
+  * The pixel sampler + ray generator run INSIDE the jitted train step, not
+    as a host-side DataManager.
   * Gauge normalization (first keyframe pinned to a canonical pose,
     reference nerfstudio_utils.py:189-199) is applied at insert time.
+  * All per-pixel channels live INTERLEAVED in one flat ``pixels`` array
+    and all per-frame data is gathered through one concatenated table: on
+    this backend every gather OP carries a ~0.7-0.8 ms fixed cost at
+    ray-batch sizes (tpu_runs/exp_raybatch.log: a 4096-element scalar take
+    costs 0.83 ms; the [K,H,W,3] fancy-index path 2.53 ms vs 0.74 ms for
+    the same rgb fetch as a flat 1-D take), so the ISOLATED sampler cost
+    was 5.3 ms across 6 gathers for ~12K scalars (tpu_runs/exp_floor.log,
+    old layout). Packed, it pays for TWO gathers: one [R, C]-element flat
+    take for pixels, one row take for c2w+intrinsics+pose-deltas, and
+    dodges the tiny-trailing-dim (3) lane padding entirely. HONEST GATE:
+    in-step the full bench moved 146.9K -> 144.0K rays/s (neutral within
+    the +-15% tunnel variance) — inside the fused step XLA evidently did
+    not pay the isolated per-op floors; the layout is kept for the op
+    count and the microbench win, not a claimed step-level speedup.
 """
 
 from __future__ import annotations
@@ -26,6 +40,12 @@ import jax.numpy as jnp
 
 from nerf_vo_tpu.core import cameras, conventions
 
+# packed per-pixel channel layout (within each pixel's C-element block):
+#   0:3  color rgb
+#   3    z-depth (0 = invalid)
+#   4:7  camera-frame unit normal      (present iff use_normals)
+#   last depth variance (1 = unweighted; present iff use_depth_cov)
+
 
 @flax.struct.dataclass
 class KeyframeBuffer:
@@ -33,34 +53,75 @@ class KeyframeBuffer:
 
     intrinsics: jnp.ndarray  # [K, 4] fx fy cx cy
     c2w: jnp.ndarray  # [K, 4, 4] OpenGL-convention camera-to-world
-    color: jnp.ndarray  # [K, H, W, 3] f32 in [0, 1]
-    depth: jnp.ndarray  # [K, H, W] f32 z-depth (0 = invalid)
-    normal: jnp.ndarray  # [K, H, W, 3] f32 camera-frame unit normals
-    depth_cov: jnp.ndarray  # [K, H, W] f32 depth variance (1 = unweighted)
+    pixels: jnp.ndarray  # [K, H*W*C] packed per-pixel channels (see above)
     num_active: jnp.ndarray  # [] int32
     normalization: jnp.ndarray  # [4, 4] gauge-fixing world transform
+    height: int = flax.struct.field(pytree_node=False, default=0)
+    width: int = flax.struct.field(pytree_node=False, default=0)
+    use_normals: bool = flax.struct.field(pytree_node=False, default=True)
+    use_depth_cov: bool = flax.struct.field(pytree_node=False, default=False)
 
     @property
     def capacity(self) -> int:
-        return self.color.shape[0]
+        return self.pixels.shape[0]
 
     @property
     def hw(self):
-        return self.color.shape[1], self.color.shape[2]
+        return self.height, self.width
+
+    @property
+    def channels(self) -> int:
+        return 4 + (3 if self.use_normals else 0) + (
+            1 if self.use_depth_cov else 0
+        )
+
+    # ---- logical [K, H, W, *] views (full-frame consumers; the training
+    # sampler reads the packed array directly) -----------------------------
+
+    def _frames(self):
+        K = self.capacity
+        return self.pixels.reshape(K, self.height, self.width, self.channels)
+
+    @property
+    def color(self) -> jnp.ndarray:  # [K, H, W, 3]
+        return self._frames()[..., 0:3]
+
+    @property
+    def depth(self) -> jnp.ndarray:  # [K, H, W]
+        return self._frames()[..., 3]
+
+    @property
+    def normal(self) -> jnp.ndarray:  # [K, H, W, 3] (or [K,1,1,3] stub)
+        if not self.use_normals:
+            return jnp.zeros((self.capacity, 1, 1, 3), jnp.float32)
+        return self._frames()[..., 4:7]
+
+    @property
+    def depth_cov(self) -> jnp.ndarray:  # [K, H, W] (or [K,1,1] stub)
+        if not self.use_depth_cov:
+            return jnp.ones((self.capacity, 1, 1), jnp.float32)
+        return self._frames()[..., self.channels - 1]
 
 
 def create(num_keyframes: int, height: int, width: int,
            use_normals: bool = True, use_depth_cov: bool = False) -> KeyframeBuffer:
     K, H, W = num_keyframes, height, width
+    C = 4 + (3 if use_normals else 0) + (1 if use_depth_cov else 0)
+    pixels = jnp.zeros((K, H * W * C), jnp.float32)
+    if use_depth_cov:  # cov channel defaults to 1 (unweighted)
+        pixels = pixels.reshape(K, H * W, C).at[:, :, C - 1].set(1.0).reshape(
+            K, H * W * C
+        )
     return KeyframeBuffer(
         intrinsics=jnp.ones((K, 4), jnp.float32),
         c2w=jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (K, 4, 4)),
-        color=jnp.zeros((K, H, W, 3), jnp.float32),
-        depth=jnp.zeros((K, H, W), jnp.float32),
-        normal=jnp.zeros((K, H, W, 3), jnp.float32) if use_normals else jnp.zeros((K, 1, 1, 3), jnp.float32),
-        depth_cov=jnp.ones((K, H, W), jnp.float32) if use_depth_cov else jnp.ones((K, 1, 1), jnp.float32),
+        pixels=pixels,
         num_active=jnp.asarray(0, jnp.int32),
         normalization=jnp.eye(4, dtype=jnp.float32),
+        height=H,
+        width=W,
+        use_normals=use_normals,
+        use_depth_cov=use_depth_cov,
     )
 
 
@@ -74,7 +135,8 @@ def _insert_impl(buffer: KeyframeBuffer, indices, packet: Dict[str, jnp.ndarray]
       depth_cov [N,H,W].
 
     The first-ever insert sets the gauge normalization from keyframe 0; all
-    poses are stored pre-multiplied by it.
+    poses are stored pre-multiplied by it. Channels absent from the packet
+    keep their previous buffer contents at the written slots.
     """
     indices = jnp.asarray(indices, jnp.int32)
     first_insert = buffer.num_active == 0
@@ -85,20 +147,31 @@ def _insert_impl(buffer: KeyframeBuffer, indices, packet: Dict[str, jnp.ndarray]
     )
     c2w = conventions.apply_transform(norm, packet["c2w"])
 
-    new = buffer.replace(
+    H, W, C = buffer.height, buffer.width, buffer.channels
+    N = packet["color"].shape[0]
+    old = buffer.pixels[indices].reshape(N, H, W, C)
+    parts = [packet["color"]]
+    parts.append(
+        (packet["depth"] if "depth" in packet else old[..., 3])[..., None]
+    )
+    if buffer.use_normals:
+        parts.append(
+            packet["normal"] if "normal" in packet else old[..., 4:7]
+        )
+    if buffer.use_depth_cov:
+        parts.append(
+            (packet["depth_cov"] if "depth_cov" in packet
+             else old[..., C - 1])[..., None]
+        )
+    rows = jnp.concatenate(parts, axis=-1).reshape(N, H * W * C)
+
+    return buffer.replace(
         intrinsics=buffer.intrinsics.at[indices].set(packet["intrinsics"]),
         c2w=buffer.c2w.at[indices].set(c2w),
-        color=buffer.color.at[indices].set(packet["color"]),
+        pixels=buffer.pixels.at[indices].set(rows),
         num_active=jnp.maximum(buffer.num_active, jnp.max(indices) + 1),
         normalization=norm,
     )
-    if "depth" in packet:
-        new = new.replace(depth=new.depth.at[indices].set(packet["depth"]))
-    if "normal" in packet and new.normal.shape[1] > 1:
-        new = new.replace(normal=new.normal.at[indices].set(packet["normal"]))
-    if "depth_cov" in packet and new.depth_cov.shape[1] > 1:
-        new = new.replace(depth_cov=new.depth_cov.at[indices].set(packet["depth_cov"]))
-    return new
 
 
 # donated jit: the scatter updates happen in place in HBM instead of copying
@@ -113,7 +186,7 @@ def sample_ray_batch(buffer: KeyframeBuffer, pose_deltas, key, num_rays: int,
     Equivalent of nerfstudio's PixelSampler + RayGenerator with the
     CameraOptimizer's SE3 deltas composed in
     (reference nerfstudio_utils.py:295-300 + nerfstudio CameraOptimizer
-    [upstream]).
+    [upstream]). TWO gather ops total (see the module docstring).
 
     Args:
       pose_deltas: [K, 6] SE3 tangent corrections (the trainable camera-opt
@@ -126,22 +199,37 @@ def sample_ray_batch(buffer: KeyframeBuffer, pose_deltas, key, num_rays: int,
     from nerf_vo_tpu.core import lie  # local import to avoid cycles
 
     H, W = buffer.hw
+    C = buffer.channels
+    K = buffer.capacity
     k1, k2, k3 = jax.random.split(key, 3)
     n_active = jnp.maximum(buffer.num_active, 1)
     frame = jax.random.randint(k1, (num_rays,), 0, n_active)
     py = jax.random.randint(k2, (num_rays,), 0, H)
     px = jax.random.randint(k3, (num_rays,), 0, W)
 
-    c2w = buffer.c2w[frame]
+    # one row-take covers poses + intrinsics + camera-opt deltas; the
+    # gather's VJP routes the delta gradient back through the concat slice
+    fd = [buffer.c2w.reshape(K, 16), buffer.intrinsics]
     if pose_deltas is not None:
-        delta = lie.se3_matrix(lie.se3_exp(pose_deltas[frame]))
+        fd.append(pose_deltas)
+    fr = jnp.take(jnp.concatenate(fd, axis=1), frame, axis=0)
+    c2w = fr[:, :16].reshape(num_rays, 4, 4)
+    intr = fr[:, 16:20]
+    if pose_deltas is not None:
+        delta = lie.se3_matrix(lie.se3_exp(fr[:, 20:26]))
         c2w = conventions.apply_transform(delta, c2w)
-    intr = buffer.intrinsics[frame]
     xy = jnp.stack([px, py], axis=-1).astype(jnp.float32) + 0.5
     origins, dirs, dirs_norm = cameras.generate_rays(c2w, intr, xy, convention)
 
-    rgb = buffer.color[frame, py, px]
-    depth_z = buffer.depth[frame, py, px]
+    # one flat take covers every per-pixel channel
+    base = ((frame * H + py) * W + px) * C
+    px_data = jnp.take(
+        buffer.pixels.reshape(-1),
+        base[:, None] + jnp.arange(C, dtype=jnp.int32)[None, :],
+        axis=0,
+    )  # [R, C]
+    rgb = px_data[:, 0:3]
+    depth_z = px_data[:, 3]
     depth = depth_z * dirs_norm[..., 0]  # euclidean ray distance
     batch = {
         "origins": origins,
@@ -152,14 +240,14 @@ def sample_ray_batch(buffer: KeyframeBuffer, pose_deltas, key, num_rays: int,
         "depth": depth,
         "depth_mask": depth_z > 0,
     }
-    if buffer.normal.shape[1] > 1:
-        n_cam = buffer.normal[frame, py, px]
+    if buffer.use_normals:
+        n_cam = px_data[:, 4:7]
         # rotate camera-frame normals to world (reference rotates with
         # solve(R, n): nerfstudio_utils.py:122-129)
         n_world = jnp.einsum("rij,rj->ri", c2w[:, :3, :3], n_cam,
                              precision=jax.lax.Precision.HIGHEST)
         batch["normal"] = n_world
         batch["normal_mask"] = jnp.sum(n_cam * n_cam, axis=-1) > 1e-6
-    if buffer.depth_cov.shape[1] > 1:
-        batch["depth_cov"] = buffer.depth_cov[frame, py, px]
+    if buffer.use_depth_cov:
+        batch["depth_cov"] = px_data[:, C - 1]
     return batch

@@ -81,13 +81,15 @@ def main():
     print("== isolated stages (production shapes, upper bounds) ==",
           flush=True)
 
-    # 1. ray batch sampling from the keyframe buffer
+    # 1. ray batch sampling from the keyframe buffer. NOTE: every jit
+    # here takes its big operands as ARGUMENTS — a closure constant is
+    # serialized into the remote-compile request body on this backend
+    # (the 1.3 GB keyframe buffer gets HTTP 413'd).
     k0 = jax.random.PRNGKey(1)
-    sample = jax.jit(lambda k: kb.sample_ray_batch(
-        buf, state.pose_deltas, k, rays))
+    sample = jax.jit(lambda b, pd, k: kb.sample_ray_batch(b, pd, k, rays))
     timeit("ray-batch sample (buffer gathers + pose chain)",
-           lambda: sample(k0))
-    batch = sample(k0)
+           lambda: sample(buf, state.pose_deltas, k0))
+    batch = sample(buf, state.pose_deltas, k0)
     o, d = batch["origins"], batch["directions"]
 
     # 2. the PDF sampler chain alone (proposal densities faked)
@@ -111,45 +113,46 @@ def main():
                                     base.num_proposal_samples)):
         pos = o[:, None, :] + d[:, None, :] * jnp.linspace(
             0.5, 4.0, S)[None, :, None]
-        fn = jax.jit(lambda p, pp=pf, i=i: pp.apply(
-            {"params": params[f"proposal_{i}"]}, p))
+        fn = jax.jit(lambda w, p, pp=pf: pp.apply({"params": w}, p))
         timeit(f"proposal L{i} density eval [{rays},{S}]",
-               lambda: fn(pos))
+               lambda: fn(params[f"proposal_{i}"], pos))
 
     # 5/6. frozen field forward: density+geo, then rgb
     S = base.num_nerf_samples
     pos = o[:, None, :] + d[:, None, :] * jnp.linspace(
         0.5, 4.0, S)[None, :, None]
-    fp = {"params": jax.lax.stop_gradient(params["field"])}
-    dens_fn = jax.jit(lambda p: model.field.apply(
-        fp, p, method=model.field.density))
-    timeit(f"field density fwd [{rays},{S}] (frozen)", lambda: dens_fn(pos))
-    density, geo = dens_fn(pos)
+    fw = params["field"]
+    dens_fn = jax.jit(lambda w, p: model.field.apply(
+        {"params": w}, p, method=model.field.density))
+    timeit(f"field density fwd [{rays},{S}] (frozen)",
+           lambda: dens_fn(fw, pos))
+    density, geo = dens_fn(fw, pos)
     dirs_b = jnp.broadcast_to(d[..., None, :], pos.shape)
     cam = jnp.zeros((rays,), jnp.int32)
-    rgb_fn = jax.jit(lambda g: model.field.apply(
-        fp, g, dirs_b, cam, method=model.field.rgb))
+    rgb_fn = jax.jit(lambda w, g, db, c: model.field.apply(
+        {"params": w}, g, db, c, method=model.field.rgb))
     timeit("field rgb fwd (dir enc + appearance + MLP)",
-           lambda: rgb_fn(geo))
-    rgb_s = rgb_fn(geo)
+           lambda: rgb_fn(fw, geo, dirs_b, cam))
+    rgb_s = rgb_fn(fw, geo, dirs_b, cam)
 
     # 7. compositing + the loss block given field outputs
     deltas_t = jnp.full((rays, S), 0.05)
     t_mid = jnp.cumsum(deltas_t, axis=-1)
 
-    def render_tail(dens, rgbs):
+    def render_tail(dens, rgbs, gt_rgb, gt_depth):
         w, _ = R.render_weights(dens, deltas_t)
         rgb = R.composite(w, rgbs, background=rgbs[..., -1, :])
         depth = R.render_depth(w, t_mid)
         acc = R.render_accumulation(w)
-        err = jnp.mean((rgb - batch["rgb"]) ** 2)
-        dl = jnp.mean((depth - batch["depth"]) ** 2)
+        err = jnp.mean((rgb - gt_rgb) ** 2)
+        dl = jnp.mean((depth - gt_depth) ** 2)
         dist = R.distortion_loss(
             jnp.concatenate([t_mid, t_mid[..., -1:] + 0.05], -1) / 10.0, w)
         return err + dl + 0.002 * dist + 0.0 * jnp.sum(acc)
 
     tail_jit = jax.jit(render_tail)
-    timeit("composite + losses tail", lambda: tail_jit(density, rgb_s))
+    timeit("composite + losses tail", lambda: tail_jit(
+        density, rgb_s, batch["rgb"], batch["depth"]))
 
     # 8. optimizer cost: full-tree Adam vs the masked one (trainer default)
     import optax
@@ -158,23 +161,23 @@ def main():
     full_tx = optax.adam(tc.learning_rate, eps=tc.eps)
     full_opt = full_tx.init(params)
 
-    def full_step(g, s):
+    def full_step(p, g, s):
         u, s2 = full_tx.update(g, s)
-        return optax.apply_updates(params, u), s2
+        return optax.apply_updates(p, u), s2
 
     full_jit = jax.jit(full_step)
     timeit("adam full tree (incl. frozen proposals)",
-           lambda: full_jit(grads, full_opt))
+           lambda: full_jit(params, grads, full_opt))
 
     masked_opt = trainer.tx.init(params)
 
-    def masked_step(g, s):
+    def masked_step(p, g, s):
         u, s2 = trainer.tx.update(g, s)
-        return optax.apply_updates(params, u), s2
+        return optax.apply_updates(p, u), s2
 
     masked_jit = jax.jit(masked_step)
     timeit("adam masked (trainer: frozen proposals skipped)",
-           lambda: masked_jit(grads, masked_opt))
+           lambda: masked_jit(params, grads, masked_opt))
 
     # == in-step arms ==
     print("== in-step ==", flush=True)
