@@ -37,7 +37,15 @@ class NerfactoConfig:
     near: float = 0.05
     far: float = 50.0
     spacing: str = "disparity"
-    num_proposal_samples: Tuple[int, ...] = (128, 64)
+    # Proposal budget flipped 128+64 -> 96+48 on its TPU gate
+    # (tpu_runs/exp_samples.log, 2026-08-19 13:23 proposal-budget-only
+    # arms, production geometry): 96+48 = +0.94 dB / depth +0.16 at
+    # 1.07x vs 128+64. Proposals are gradient-free (distilled) and only
+    # place samples, so the budget cut touches forward gathers only;
+    # 64+32 was faster (1.14x) but tripled the depth error (+0.86).
+    # The nerf-sample budget stays at the reference's 48 — every cut
+    # failed its quality gate (exp_samples 07:31 run: 32 -> -0.74 dB).
+    num_proposal_samples: Tuple[int, ...] = (96, 48)
     num_nerf_samples: int = 48
     num_images: int = 512
     use_contraction: bool = True
