@@ -2,8 +2,9 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 The headline metric is rendered training rays/sec of the nerfacto-equivalent
-mapper at the reference's production configuration (4096 rays/batch,
-proposal 128+64 + 48 final samples, pose optimization on) — the reference's
+mapper at the production configuration (4096 rays/batch, proposal 96+48
+[TPU-gated flip from 128+64, tpu_runs/exp_samples.log] + the reference's
+48 final samples, pose optimization on) — the reference's
 mapping budget is 8192 iters x 4096 rays (BASELINE.md). vs_baseline is the
 ratio against the 1M rays/s north-star target for one TPU v5e chip.
 """

@@ -119,19 +119,22 @@ class MappingTrainer:
 
     # ------------------------------------------------------------------
 
-    def _loss_fn(self, params, pose_deltas, buffer, key, occ_grid=None):
+    def _loss_fn(self, params, pose_deltas, buffer, key, step=None,
+                 occ_grid=None):
         k_sample, k_render = jax.random.split(key)
         deltas = pose_deltas if self.config.optimize_extrinsics else None
         batch = kb.sample_ray_batch(
             buffer, deltas, k_sample, self.config.rays_per_batch
         )
-        return self.model.loss(params, batch, k_render, occ_grid=occ_grid)
+        return self.model.loss(
+            params, batch, k_render, step=step, occ_grid=occ_grid
+        )
 
     def _train_step_impl(self, state: TrainState, buffer: kb.KeyframeBuffer,
                          key) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         def wrapped(params, pose_deltas):
             return self._loss_fn(
-                params, pose_deltas, buffer, key,
+                params, pose_deltas, buffer, key, step=state.step,
                 occ_grid=jax.lax.stop_gradient(state.occ_grid)
                 if state.occ_grid is not None else None,
             )

@@ -264,11 +264,12 @@ class NerfactoField(nn.Module):
             positions, self.aabb_min, self.aabb_max
         )
 
-    def density(self, positions):
+    def density(self, positions, grad_phase=None):
         feat = hash_grid.hash_encode(
             self.tables, self._to_unit(positions), self.grid,
             model_axis=self.model_axis,
             descriptor_sharding=self.descriptor_sharding,
+            grad_phase=grad_phase,
         )
         h = self.density_mlp(feat)
         density = trunc_exp(h[..., 0] - 1.0)

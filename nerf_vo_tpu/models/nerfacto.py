@@ -145,6 +145,14 @@ class NerfactoConfig:
     # must then feed each model-axis device DIFFERENT rays
     # (make_dp_tp_train_step(descriptor_sharding=True)).
     descriptor_sharding: bool = False
+    # phased table-gradient backward: each train step scatters only ONE of
+    # the field's scattered hash levels (step % n_scattered picks it) —
+    # exact per-level gradients at 1/n_scattered rate for 1/n_scattered of
+    # the dominant backward-scatter cost (~8.5 ms of a ~29 ms step at
+    # production config, tpu_runs/exp_step_cuts.log). Same staleness bet
+    # the distilled proposals make. Default OFF until the TPU quality+speed
+    # gate (scripts/exp_gradphase.py) passes.
+    table_grad_phase: bool = False
     # sampling strategy: "proposal" (nerfacto) or "occupancy" (Instant-NGP
     # path: density-grid-driven empty-space skipping, ops/occupancy.py)
     sampler: str = "proposal"
@@ -233,6 +241,7 @@ class NerfactoModel:
         train: bool = False,
         compute_grad_normals: bool = False,
         occ_grid=None,
+        step=None,
     ) -> Dict[str, Any]:
         """Render a batch of rays.
 
@@ -308,6 +317,11 @@ class NerfactoModel:
         pos = self._positions(origins, directions, t_mid)
 
         field_params = {"params": params["field"]}
+        # phased table-grad backward (see table_grad_phase): only the main
+        # field pass gets the phase — the surface-normal pullback's extra
+        # R descriptors are ~2% of the scatter and stay exact
+        gp = step if (cfg.table_grad_phase and train
+                      and step is not None) else None
 
         grad_normals = None
         if compute_grad_normals and cfg.grad_normal_mode == "samples":
@@ -322,7 +336,7 @@ class NerfactoModel:
             # density value and its position gradient — no second encode.
             (density, geo), pullback = jax.vjp(
                 lambda p: self.field.apply(
-                    field_params, p, method=self.field.density
+                    field_params, p, method=self.field.density, grad_phase=gp
                 ),
                 pos,
             )
@@ -334,7 +348,7 @@ class NerfactoModel:
             )
         else:
             density, geo = self.field.apply(
-                field_params, pos, method=self.field.density
+                field_params, pos, method=self.field.density, grad_phase=gp
             )
 
         dirs_b = jnp.broadcast_to(directions[..., None, :], pos.shape)
@@ -427,6 +441,7 @@ class NerfactoModel:
                 cfg.predict_normals and cfg.grad_normal_mode != "none"
             ),
             occ_grid=occ_grid,
+            step=step,
         )
         metrics = {}
         loss = L.rgb_loss(out["rgb"], batch["rgb"])

@@ -247,6 +247,56 @@ def _gather_scattered(n_bricks: int, base_col: int):
     return gather
 
 
+@functools.lru_cache(maxsize=None)
+def _gather_scattered_phased(n_bricks: int, base_col: int, n_scat: int):
+    """`_gather_scattered` with a PHASED backward: each step scatters only
+    ONE scattered level's descriptor block (``phase % n_scat`` picks it;
+    ``idx`` is level-major, so blocks are contiguous — hash_encode stacks
+    ``ids[n_oh:]``). The off levels' table gradients are exactly zero that
+    step, i.e. every level trains on exact full-batch gradients at
+    1/n_scat rate (Adam's moments bridge the gaps, the same staleness bet
+    the distilled proposals already make at refresh_every=16). The payoff:
+    the backward scatter — the train step's dominant per-descriptor cost
+    (~22-27 ns/descriptor at ANY payload width, tpu_runs/exp_scatter4.log)
+    — shrinks 1/n_scat. Quality+speed gated on scripts/exp_gradphase.py
+    before any default flip."""
+
+    @jax.custom_vjp
+    def gather(tables, idx, loc, phase):
+        return _split_take(tables.astype(jnp.bfloat16), idx)
+
+    def fwd(tables, idx, loc, phase):
+        return gather(tables, idx, loc, phase), (idx, phase, tables.shape)
+
+    def bwd(res, g):
+        idx, phase, shape = res
+        rows, total_cols = shape
+        F = rows // _BRICK_PAD
+        real = _BRICK * F
+        acc = jnp.bfloat16 if SCATTER_BF16 else jnp.float32
+        n = idx.shape[0] // n_scat
+        start = (phase.astype(jnp.int32) % n_scat) * n
+        idx_l = jax.lax.dynamic_slice_in_dim(idx, start, n)
+        g_l = jax.lax.dynamic_slice_in_dim(
+            g[:real].astype(acc), start, n, axis=1
+        )
+        grad_s = jnp.zeros((real, total_cols - base_col), acc).at[
+            :, idx_l - base_col
+        ].add(g_l).astype(jnp.float32)
+        grad_s = jnp.concatenate(
+            [grad_s, jnp.zeros((rows - real, grad_s.shape[1]), jnp.float32)],
+            axis=0,
+        )
+        if base_col:
+            grad_s = jnp.concatenate(
+                [jnp.zeros((rows, base_col), jnp.float32), grad_s], axis=1
+            )
+        return grad_s, None, None, None
+
+    gather.defvjp(fwd, bwd)
+    return gather
+
+
 # backward-compaction capacity: scatter slots per device = slack * N / D
 # rounded up to a lane multiple. Hashed brick ids are uniform over the
 # table, so per-shard descriptor counts concentrate tightly around N / D;
@@ -562,7 +612,8 @@ def tp_gather_cols_a2a(axis_name: str, n_shards: int):
 
 def hash_encode(tables, x, config: HashGridConfig,
                 model_axis: Optional[str] = None,
-                descriptor_sharding: bool = False):
+                descriptor_sharding: bool = False,
+                grad_phase=None):
     """Encode points with the multiresolution brick grid.
 
     Args:
@@ -577,6 +628,11 @@ def hash_encode(tables, x, config: HashGridConfig,
         OWN samples (the sample axis is sharded over the model axis too)
         and per-device descriptor work scales ~1/D. One-hot dense levels
         psum their table cotangents over the model axis in this mode.
+      grad_phase: optional traced int32 step counter. When set (single-chip
+        path only, >1 scattered level), the backward scatters just the
+        ``grad_phase % n_scattered``-th scattered level's descriptors —
+        exact per-level table gradients at 1/n_scattered rate for
+        1/n_scattered of the dominant scatter cost (_gather_scattered_phased).
 
     Returns:
       [..., L*F] encoded features (f32), feature-within-level minor
@@ -650,6 +706,12 @@ def hash_encode(tables, x, config: HashGridConfig,
         elif model_axis is not None:
             parts.append(
                 _tp_gather_cols(model_axis, n_shards)(tables, idx, loc_s)
+            )
+        elif grad_phase is not None and (L - n_oh) > 1:
+            parts.append(
+                _gather_scattered_phased(NB, n_oh * NB, L - n_oh)(
+                    tables, idx, loc_s, grad_phase
+                )
             )
         else:
             parts.append(

@@ -186,6 +186,33 @@ def main():
         "occupancy sampler (NGP path, no proposals)",
         dataclasses.replace(base, sampler="occupancy"), tc, buf, K,
     )
+    # phased table-grad backward: halves the dominant backward-scatter
+    # descriptor count (quality gate lives in exp_gradphase.py; THIS arm
+    # is the in-step speed reading at full production geometry)
+    time_variant(
+        "phased table grads (1 scattered level/step)",
+        dataclasses.replace(base, table_grad_phase=True), tc, buf, K,
+    )
+    # the whole ray-batch sampler replaced by a precomputed constant batch:
+    # bounds the TRUE in-step cost of sampling + the pose-delta chain (the
+    # isolated arm above pays per-op launch floors the fused step may not —
+    # the packed-buffer rewrite left the isolated reading at 5.28 ms
+    # exactly, so the gathers were never what that arm measured). Pose
+    # gradients vanish with the patch (the batch no longer depends on
+    # pose_deltas), so this arm removes sampler + pose chain together.
+    fixed_batch = jax.tree_util.tree_map(
+        jnp.asarray,
+        kb.sample_ray_batch(buf, state.pose_deltas, jax.random.PRNGKey(3),
+                            rays),
+    )
+    orig_sample = kb.sample_ray_batch
+    kb.sample_ray_batch = lambda *a, **k: fixed_batch
+    try:
+        time_variant(
+            "fixed ray batch (sampler + pose chain off)", base, tc, buf, K,
+        )
+    finally:
+        kb.sample_ray_batch = orig_sample
 
 
 if __name__ == "__main__":

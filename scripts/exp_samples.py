@@ -82,7 +82,11 @@ def main():
     buf = make_scene(rng, K, H, W)
 
     sweeps = [
-        ("48 nerf / 128+64 prop (prod)", {}),
+        # the 13:23 2026-08-19 run of these arms flipped the DEFAULT
+        # proposal budget to 96+48 — pin the old prod explicitly so the
+        # baseline row stays comparable across runs
+        ("48 nerf / 128+64 prop (old prod)",
+         {"num_proposal_samples": (128, 64)}),
         ("32 nerf / 128+64 prop", {"num_nerf_samples": 32}),
         ("24 nerf / 128+64 prop", {"num_nerf_samples": 24}),
         ("32 nerf / 96+48 prop",

@@ -28,6 +28,7 @@ QUEUE = [
     ("exp_normals", [sys.executable, "scripts/exp_normals.py"], 2400),
     ("exp_samples", [sys.executable, "scripts/exp_samples.py"], 3600),
     ("bench", [sys.executable, "bench.py"], 1800),
+    ("exp_gradphase", [sys.executable, "scripts/exp_gradphase.py"], 3600),
     ("exp_floor", [sys.executable, "scripts/exp_floor.py"], 2400),
     ("exp_vo_cut", [sys.executable, "scripts/exp_vo_cut.py"], 2400),
     ("bench_tracking", [sys.executable, "bench_tracking.py"], 1800),

@@ -129,6 +129,46 @@ def test_table_grad_matches_autodiff_oracle(rng):
     )
 
 
+def test_phased_table_grad_is_exact_per_level(rng):
+    """grad_phase=p produces EXACTLY the full gradient on the active
+    scattered level's column span, zeros on the other scattered levels,
+    and an untouched one-hot-level gradient (CFG: 1 one-hot + 3 scattered
+    levels)."""
+    tables = hash_grid.init_tables(jax.random.PRNGKey(0), CFG)
+    x = jnp.asarray(rng.uniform(0, 1, size=(64, 3)), jnp.float32)
+    co = jnp.asarray(rng.normal(size=(64, CFG.output_dim)), jnp.float32)
+    NB = CFG.bricks_per_level
+    n_oh = 1  # res-4 level fits 32 bricks; res-8 (64 bricks) does not
+
+    g_full = np.asarray(jax.grad(
+        lambda t: jnp.sum(hash_grid.hash_encode(t, x, CFG) * co)
+    )(tables))
+
+    def g_phase(p):
+        return np.asarray(jax.grad(lambda t: jnp.sum(
+            hash_grid.hash_encode(
+                t, x, CFG, grad_phase=jnp.asarray(p, jnp.int32)
+            ) * co
+        ))(tables))
+
+    n_scat = CFG.n_levels - n_oh
+    for p in range(n_scat + 1):  # +1 exercises the % n_scat wrap
+        g = g_phase(p)
+        active = n_oh + (p % n_scat)
+        for l in range(CFG.n_levels):
+            span = slice(l * NB, (l + 1) * NB)
+            if l < n_oh or l == active:
+                np.testing.assert_allclose(
+                    g[:, span], g_full[:, span], rtol=1e-6, atol=1e-7,
+                    err_msg=f"phase {p} level {l} (active)",
+                )
+            else:
+                np.testing.assert_allclose(
+                    g[:, span], 0.0,
+                    err_msg=f"phase {p} level {l} (should be masked)",
+                )
+
+
 def test_tp_compact_branch_matches_replicated(rng):
     """The tensor-parallel backward's COMPACTED scatter arm (taken when a
     shard owns fewer descriptors than the argsort cap — needs a batch big
