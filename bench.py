@@ -52,7 +52,10 @@ def main():
             "error": "backend unresponsive: 128x128 matmul did not "
                      "complete within 120s (TPU tunnel outage)",
         }))
-        return
+        # nonzero rc so harnesses (run_tpu_queue.py, the round driver)
+        # can tell "outage" from "measured 0" — ADVICE r2: rc alone must
+        # disambiguate skipped/failed from ran-and-passed
+        sys.exit(3)
     from nerf_vo_tpu.mapping import keyframe_buffer as kb
     from nerf_vo_tpu.mapping.trainer import MappingTrainer, TrainerConfig
     from nerf_vo_tpu.models.nerfacto import NerfactoConfig, NerfactoModel

@@ -213,6 +213,15 @@ def main():
         )
     finally:
         kb.sample_ray_batch = orig_sample
+    # TPU-native operating point probe: the reference's 4096-ray batch is a
+    # GPU-era choice; rays/s at 4x the batch with phased grads shows how
+    # much of the step is per-op floor vs per-descriptor work (a default
+    # move would additionally need an equal-ray-budget quality gate)
+    time_variant(
+        "phased + 16384-ray batch",
+        dataclasses.replace(base, table_grad_phase=True),
+        dataclasses.replace(tc, rays_per_batch=rays * 4), buf, K,
+    )
 
 
 if __name__ == "__main__":

@@ -92,8 +92,9 @@ def main() -> int:
             json.dump(summary, f, indent=2)
         print(f"[queue] {name}: rc={rc} in {dt:.0f}s")
         if rc != 0 and name == "bench":
-            # a broken headline bench is worth stopping for
-            return 1
+            # bench exits 3 on its own outage probe (mid-queue tunnel
+            # flap): that is retryable, not a broken bench
+            return 2 if rc == 3 else 1
     print(f"[queue] done; summary in {summary_path}")
     return 0
 
