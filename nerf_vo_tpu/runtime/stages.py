@@ -288,8 +288,14 @@ class MappingStage:
             aabb_min=-4.0,
             aabb_max=4.0,
             # NGP path: occupancy-grid empty-space skipping instead of
-            # proposal networks (reference pyngp Testbed, SURVEY N5)
+            # proposal networks (reference pyngp Testbed, SURVEY N5).
+            # pyngp marches UNIFORMLY in t inside its bounded AABB — with
+            # disparity spacing the 128 coarse occupancy bins would pile up
+            # against the 0.05 near plane and leave ~10 bins for the whole
+            # 0.5-5 m working range (exp_samples' occupancy arm showed the
+            # resulting depth collapse).
             sampler="occupancy" if ngp else "proposal",
+            spacing="linear" if ngp else "disparity",
         )
         # YAML escape hatch for mapper internals the reference hardcodes in
         # its nerfstudio TrainerConfig tree (reference nerfstudio.py:47-103):

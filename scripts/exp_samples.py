@@ -110,6 +110,15 @@ def main():
         # the natural throughput-first production sampler (it is already
         # the reference's pyngp mode, SURVEY N5).
         ("48 nerf / occupancy sampler", {"sampler": "occupancy"}),
+        # the 13:23 run's occupancy arm collapsed on depth (med 9.26):
+        # 400 steps is too few for the grid EMA to clear (0.95^25 = 0.28 >
+        # threshold, still "everything occupied"), and DISPARITY spacing
+        # piles the 128 coarse bins against the near plane. The NGP path
+        # now defaults to linear spacing (runtime/stages.py) — this arm
+        # gates that choice at the sampler level
+        ("48 nerf / occupancy (linear spacing)",
+         {"sampler": "occupancy", "spacing": "linear", "near": 0.05,
+          "far": 8.0}),
     ]
     if smoke:
         # shrink every arm the same way the mlp smoke does
