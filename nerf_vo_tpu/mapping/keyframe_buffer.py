@@ -207,17 +207,22 @@ def sample_ray_batch(buffer: KeyframeBuffer, pose_deltas, key, num_rays: int,
     py = jax.random.randint(k2, (num_rays,), 0, H)
     px = jax.random.randint(k3, (num_rays,), 0, W)
 
-    # one row-take covers poses + intrinsics + camera-opt deltas; the
-    # gather's VJP routes the delta gradient back through the concat slice
-    fd = [buffer.c2w.reshape(K, 16), buffer.intrinsics]
+    # the camera-opt SE3 chain runs per KEYFRAME (K rows), not per ray —
+    # gather-of-composed == compose-of-gathered, and K << num_rays; one
+    # row-take then covers composed pose + intrinsics. The take's VJP
+    # scatters the [R, 16] pose cotangent onto [K, 16] rows (tiny next to
+    # the field's table scatter) and the se3 backward runs at K rows.
     if pose_deltas is not None:
-        fd.append(pose_deltas)
-    fr = jnp.take(jnp.concatenate(fd, axis=1), frame, axis=0)
+        delta = lie.se3_matrix(lie.se3_exp(pose_deltas))  # [K, 4, 4]
+        c2w_all = conventions.apply_transform(delta, buffer.c2w)
+    else:
+        c2w_all = buffer.c2w
+    fr = jnp.take(
+        jnp.concatenate([c2w_all.reshape(K, 16), buffer.intrinsics], axis=1),
+        frame, axis=0,
+    )
     c2w = fr[:, :16].reshape(num_rays, 4, 4)
     intr = fr[:, 16:20]
-    if pose_deltas is not None:
-        delta = lie.se3_matrix(lie.se3_exp(fr[:, 20:26]))
-        c2w = conventions.apply_transform(delta, c2w)
     xy = jnp.stack([px, py], axis=-1).astype(jnp.float32) + 0.5
     origins, dirs, dirs_norm = cameras.generate_rays(c2w, intr, xy, convention)
 
