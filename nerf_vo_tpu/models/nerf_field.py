@@ -187,6 +187,12 @@ class DenseProposalField(nn.Module):
     use_contraction: bool = True
     aabb_min: float = -1.0
     aabb_max: float = 1.0
+    # distilled proposal tables are refreshed DATA, not optimizer-managed
+    # weights (trainer routes them through set_to_zero), and the encode
+    # gathers a bf16 shadow anyway — storing bf16 halves the random-gather
+    # bytes of the biggest table in the step (res-160 = 65 MB f32, which
+    # gathers at ~17 ns/descriptor vs the ~4-5 ns cache-resident floor)
+    table_dtype: str = "float32"
 
     @property
     def grid(self) -> HashGridConfig:
@@ -212,7 +218,8 @@ class DenseProposalField(nn.Module):
         """positions [..., 3] world-frame -> density [...]."""
         tables = self.param(
             "tables", lambda key: hash_grid.init_tables(
-                key, self.grid, shard=self.model_axis_size)
+                key, self.grid, dtype=jnp.dtype(self.table_dtype),
+                shard=self.model_axis_size)
         )
         feat = hash_grid.hash_encode(
             tables, self._to_unit(positions), self.grid,

@@ -119,6 +119,10 @@ class NerfactoConfig:
     #     so direct distillation preserves capability; requires
     #     proposal_type == "dense".
     proposal_training: str = "distill"
+    # storage dtype of the distilled dense proposal tables (see
+    # DenseProposalField.table_dtype): "bfloat16" halves the random-gather
+    # bytes of the step's biggest table. Gated in exp_gradphase.py.
+    proposal_table_dtype: str = "float32"
     proposal_refresh_every: int = 16
     proposal_refresh_bricks: int = 8192  # bricks re-evaluated per refresh
     # MLP-proposal distillation (proposal_type == "mlp"): the distill loss
@@ -175,7 +179,11 @@ class NerfactoModel:
         )
         if config.proposal_type == "dense":
             self.proposal_fields = [
-                DenseProposalField(resolution=r, **common)
+                DenseProposalField(
+                    resolution=r,
+                    table_dtype=config.proposal_table_dtype,
+                    **common,
+                )
                 for r in config.proposal_resolutions
             ][: len(config.num_proposal_samples)]
         elif config.proposal_type == "mlp":
@@ -571,7 +579,9 @@ class NerfactoModel:
         for i, pf in enumerate(self.proposal_fields):
             b0, col = self._proposal_slab(field_params, pf, step)
             tables = params[f"proposal_{i}"]["tables"]
-            tables = jax.lax.dynamic_update_slice(tables, col, (0, b0))
+            tables = jax.lax.dynamic_update_slice(
+                tables, col.astype(tables.dtype), (0, b0)
+            )
             new_params[f"proposal_{i}"] = dict(
                 params[f"proposal_{i}"], tables=tables
             )

@@ -304,7 +304,7 @@ def _tp_refresh_proposals(tp_model, params, step, n_model: int, axis: str):
         rel = gid - b0
         S = col.shape[1]
         in_slab = (rel >= 0) & (rel < S)
-        upd = col[:, jnp.clip(rel, 0, S - 1)]
+        upd = col[:, jnp.clip(rel, 0, S - 1)].astype(local.dtype)
         new_tables = jnp.where(in_slab[None, :], upd, local)
         new_params[f"proposal_{i}"] = dict(
             params[f"proposal_{i}"], tables=new_tables

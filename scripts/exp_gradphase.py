@@ -47,6 +47,11 @@ def main():
     sweeps = [
         ("full table grads (prod, 96+48)", {}),
         ("phased table grads (1 level/step)", {"table_grad_phase": True}),
+        # distilled proposal tables stored bf16: halves the random-gather
+        # bytes of the res-160 table (65 MB f32, ~17 ns/desc vs the ~4-5 ns
+        # cache-resident gather floor). Independent lever, stacked on top.
+        ("phased + bf16 proposal tables",
+         {"table_grad_phase": True, "proposal_table_dtype": "bfloat16"}),
     ]
     if smoke:
         for _, over in sweeps:

@@ -69,6 +69,41 @@ def test_loss_and_grads_finite(model_and_params, rng):
     assert np.abs(np.asarray(flat)).sum() > 0
 
 
+def test_bf16_proposal_tables_train_and_refresh(rng):
+    """proposal_table_dtype='bfloat16': tables init + stay bf16 through a
+    train step and a distill refresh; the step runs finite, and phased
+    table grads compose with it."""
+    import dataclasses
+
+    from nerf_vo_tpu.mapping import keyframe_buffer as kb
+    from nerf_vo_tpu.mapping.trainer import MappingTrainer, TrainerConfig
+
+    cfg = dataclasses.replace(
+        TINY, proposal_table_dtype="bfloat16", table_grad_phase=True,
+        proposal_refresh_every=1,
+    )
+    model = NerfactoModel(cfg)
+    trainer = MappingTrainer(
+        model, TrainerConfig(rays_per_batch=64, max_iterations=8), 4
+    )
+    state = trainer.init(jax.random.PRNGKey(0))
+    assert state.params["proposal_0"]["tables"].dtype == jnp.bfloat16
+
+    buf = kb.create(4, 8, 12)
+    packet = {
+        "intrinsics": jnp.tile(jnp.asarray([10.0, 10.0, 6.0, 4.0]), (2, 1)),
+        "c2w": jnp.broadcast_to(jnp.eye(4), (2, 4, 4)),
+        "color": jnp.full((2, 8, 12, 3), 0.4),
+        "depth": jnp.full((2, 8, 12), 2.0),
+        "normal": jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (2, 8, 12, 1)),
+    }
+    buf = kb.insert(buf, jnp.arange(2), packet)
+    for _ in range(3):  # crosses a refresh boundary AND both grad phases
+        state, m = trainer.train_step(state, buf, jax.random.PRNGKey(3))
+    assert np.isfinite(float(m["loss"]))
+    assert state.params["proposal_0"]["tables"].dtype == jnp.bfloat16
+
+
 @pytest.mark.parametrize("mode", ["samples", "surface", "none"])
 def test_grad_normal_modes(mode, rng):
     """All three grad-normal placements produce finite losses/grads; the
