@@ -456,6 +456,28 @@ def _tp_onehot_slab(axis_name: str, g0: int, n_cols: int,
 _TP_A2A_SLACK = 2.0
 
 
+def a2a_route_stats(idx, n_cols_total: int, n_shards: int):
+    """Host-side mirror of tp_gather_cols_a2a's routing capacity math.
+
+    Returns ``{"cap", "max_rank", "overflow"}`` for one device's local
+    descriptor slice ``idx`` against column count ``n_cols_total`` split
+    over ``n_shards`` — the diagnostic the production-shape mesh test uses
+    to verify whether the _TP_A2A_SLACK capacity actually binds (and hence
+    whether the lax.cond fallback engages) at real table geometry.
+    """
+    import numpy as _np
+
+    idx = _np.asarray(idx)
+    c_local = n_cols_total // n_shards
+    M = idx.shape[0]
+    owner = idx // c_local
+    cap = min(-(-int(M * _TP_A2A_SLACK / n_shards) // 128) * 128, M)
+    counts = _np.bincount(owner, minlength=n_shards)
+    max_rank = int(counts.max())
+    return {"cap": int(cap), "max_rank": max_rank,
+            "overflow": bool(max_rank > cap)}
+
+
 @functools.lru_cache(maxsize=None)
 def tp_gather_cols_a2a(axis_name: str, n_shards: int):
     """Descriptor-sharded tensor-parallel brick gather (all_to_all routing).

@@ -1,0 +1,155 @@
+"""Statistically sound sample-budget quality gate (paired seeds, repeats).
+
+VERDICT r3 item 1: the single-seed 400-step exp_samples gate has +-1.6 dB
+run-to-run spread — larger than the effects it adjudicates (the 24-nerf-
+sample cut measured -3.63 dB in one run and -0.34 dB in another on the
+same day). This harness removes the two noise sources that design had:
+
+1. PAIRED arms. Every arm r(epeat) uses the SAME init key and the SAME
+   ray-stream key sequence. `num_nerf_samples` / `num_proposal_samples`
+   do not change parameter shapes, so identical init keys give identical
+   initial tables/MLPs and identical per-step pixel draws across arms —
+   the only difference between arms is the budget under test.
+2. HELD-OUT paired eval. Train-batch PSNR at the last step is a
+   single-4096-ray draw through a moving loss; instead each fitted model
+   is evaluated on ONE fixed 16384-ray batch (fixed key, train=False),
+   identical across all arms and repeats.
+3. REPEATS. >=3 seeds per arm; the report prints per-seed paired deltas
+   vs the production arm plus mean/min/max, so an effect is only trusted
+   when it clears the paired spread.
+
+Decision rule (printed at the end): an arm FLIPS the default only if its
+mean paired delta-PSNR > -0.5 dB AND its worst-seed delta > -1.0 dB AND
+median rel-depth regression < +0.05 — i.e. the quality cost is bounded
+across every seed, not just on average. Reference budget being gated:
+48 final samples (/root/reference/nerf_vo/mapping/nerfstudio.py:47-103).
+
+Usage: python scripts/exp_gate_samples.py [steps] [--cpu-smoke] [--repeats N]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+if os.environ.get("JAX_PLATFORMS") == "cpu" or "--cpu-smoke" in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+from exp_distill import make_scene  # noqa: E402
+from nerf_vo_tpu.mapping import keyframe_buffer as kb
+from nerf_vo_tpu.mapping.trainer import MappingTrainer, TrainerConfig
+from nerf_vo_tpu.models.nerfacto import NerfactoConfig, NerfactoModel
+
+EVAL_RAYS_KEY = jax.random.PRNGKey(7)  # shared across ALL arms/repeats
+
+
+def fit_and_eval(buf, K, steps, rays, seed, eval_rays, **over):
+    """Train one arm with a given seed; return (psnr, med_rel_depth, s/step).
+
+    The eval is a fixed held-out ray batch rendered train=False — paired
+    across arms because `eval_rays` is drawn once by the caller.
+    """
+    cfg = NerfactoConfig(num_images=K, proposal_training="distill", **over)
+    trainer = MappingTrainer(
+        NerfactoModel(cfg),
+        TrainerConfig(rays_per_batch=rays, max_iterations=steps),
+        K,
+    )
+    state = trainer.init(jax.random.PRNGKey(seed))
+    key = jax.random.PRNGKey(10_000 + seed)  # same stream for every arm
+    t0 = None
+    warm = min(5, steps // 4)
+    for i in range(steps):
+        key, sub = jax.random.split(key)
+        state, m = trainer.train_step(state, buf, sub)
+        if i == warm:
+            float(m["loss"])  # force sync (block_until_ready no-op here)
+            t0 = time.perf_counter()
+    float(m["loss"])
+    dt = (time.perf_counter() - t0) / max(steps - warm - 1, 1)
+
+    out = trainer.model.render(
+        state.params, eval_rays["origins"], eval_rays["directions"],
+        eval_rays.get("camera_indices"), train=False,
+        occ_grid=state.occ_grid,
+    )
+    mse = jnp.mean((out["rgb"] - eval_rays["rgb"]) ** 2)
+    psnr = float(-10.0 * jnp.log10(jnp.maximum(mse, 1e-10)))
+    rel = jnp.abs(out["depth"] - eval_rays["depth"]) / jnp.clip(
+        eval_rays["depth"], 0.1
+    )
+    med = float(jnp.median(rel))
+    return psnr, med, dt
+
+
+def main():
+    smoke = "--cpu-smoke" in sys.argv
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() \
+        else (30 if smoke else 400)
+    repeats = 3
+    if "--repeats" in sys.argv:
+        repeats = int(sys.argv[sys.argv.index("--repeats") + 1])
+    if smoke:
+        K, H, W, rays, eval_n = 8, 48, 64, 512, 2048
+    else:
+        K, H, W, rays, eval_n = 32, 120, 160, 4096, 16384
+    rng = np.random.default_rng(0)
+    buf = make_scene(rng, K, H, W)
+    eval_rays = kb.sample_ray_batch(buf, None, EVAL_RAYS_KEY, eval_n)
+
+    arms = [
+        # production default (96+48 flipped in r3; this re-adjudicates it
+        # against the old 128+64 under the sound gate as well)
+        ("PROD 48 nerf / 96+48", {}),
+        ("48 nerf / 128+64 (old prod)",
+         {"num_proposal_samples": (128, 64)}),
+        ("32 nerf / 96+48", {"num_nerf_samples": 32}),
+        ("24 nerf / 96+48", {"num_nerf_samples": 24}),
+    ]
+    if smoke:
+        for _, over in arms:
+            over.setdefault("log2_hashmap_size", 14)
+            over.setdefault("proposal_distill_points", 256)
+
+    results = {}  # label -> list of (psnr, med, dt)
+    for label, over in arms:
+        rows = []
+        for r in range(repeats):
+            p, d, t = fit_and_eval(buf, K, steps, rays, r, eval_rays, **over)
+            rows.append((p, d, t))
+            print(f"  {label:30s} seed{r}: psnr={p:6.2f}  med|dz|/z={d:6.3f}"
+                  f"  {t*1e3:6.1f} ms/step", flush=True)
+        results[label] = rows
+
+    base_label = arms[0][0]
+    base = results[base_label]
+    print("\n=== paired gate report (vs PROD, per-seed deltas) ===")
+    bp = [r[0] for r in base]
+    bd = [r[1] for r in base]
+    bt = float(np.median([r[2] for r in base]))
+    print(f"{base_label:30s} psnr {np.mean(bp):6.2f} "
+          f"[{min(bp):6.2f},{max(bp):6.2f}]  depth {np.mean(bd):6.3f}  "
+          f"{bt*1e3:6.1f} ms/step  {rays/bt/1e3:7.1f}K rays/s")
+    for label, _ in arms[1:]:
+        rows = results[label]
+        dp = [rows[r][0] - base[r][0] for r in range(repeats)]
+        dd = [rows[r][1] - base[r][1] for r in range(repeats)]
+        t = float(np.median([r[2] for r in rows]))
+        speedup = bt / t
+        mean_dp, worst_dp = float(np.mean(dp)), float(min(dp))
+        mean_dd = float(np.mean(dd))
+        gate = mean_dp > -0.5 and worst_dp > -1.0 and mean_dd < 0.05
+        print(f"{label:30s} dPSNR {mean_dp:+6.2f} "
+              f"[{min(dp):+6.2f},{max(dp):+6.2f}]  ddepth {mean_dd:+6.3f}  "
+              f"{speedup:5.2f}x  ({rays/t/1e3:7.1f}K rays/s)  "
+              f"gate={'PASS' if gate else 'FAIL'}")
+
+
+if __name__ == "__main__":
+    main()

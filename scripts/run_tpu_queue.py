@@ -20,19 +20,16 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LOGDIR = os.path.join(REPO, "tpu_runs")
 
-# (name, command, timeout_s) in TPU_QUEUE.md priority order
+# (name, command, timeout_s) in TPU_QUEUE.md priority order (round 4)
 QUEUE = [
-    ("exp_step_cuts", [sys.executable, "scripts/exp_step_cuts.py"], 2400),
-    ("exp_scatter4", [sys.executable, "scripts/exp_scatter4.py"], 2400),
-    ("exp_mlp_prop", [sys.executable, "scripts/exp_mlp_prop.py"], 3600),
-    ("exp_normals", [sys.executable, "scripts/exp_normals.py"], 2400),
-    ("exp_samples", [sys.executable, "scripts/exp_samples.py"], 3600),
-    ("bench", [sys.executable, "bench.py"], 1800),
-    ("exp_gradphase", [sys.executable, "scripts/exp_gradphase.py"], 3600),
-    ("exp_floor", [sys.executable, "scripts/exp_floor.py"], 2400),
-    ("exp_vo_cut", [sys.executable, "scripts/exp_vo_cut.py"], 2400),
-    ("bench_tracking", [sys.executable, "bench_tracking.py"], 1800),
-    ("bench_droid", [sys.executable, "bench_droid.py"], 2400),
+    ("bench_r4", [sys.executable, "bench.py"], 1800),
+    ("exp_gate_samples",
+     [sys.executable, "scripts/exp_gate_samples.py"], 5400),
+    ("bench_pipeline", [sys.executable, "bench_pipeline.py"], 3600),
+    ("bench_tracking_r4", [sys.executable, "bench_tracking.py"], 1800),
+    ("bench_droid_r4", [sys.executable, "bench_droid.py"], 2400),
+    ("exp_vo_cut_r4", [sys.executable, "scripts/exp_vo_cut.py"], 2400),
+    ("exp_floor_r4", [sys.executable, "scripts/exp_floor.py"], 2400),
 ]
 
 
@@ -91,10 +88,10 @@ def main() -> int:
         with open(summary_path, "w") as f:
             json.dump(summary, f, indent=2)
         print(f"[queue] {name}: rc={rc} in {dt:.0f}s")
-        if rc != 0 and name == "bench":
+        if rc == 3 and name.startswith("bench"):
             # bench exits 3 on its own outage probe (mid-queue tunnel
             # flap): that is retryable, not a broken bench
-            return 2 if rc == 3 else 1
+            return 2
     print(f"[queue] done; summary in {summary_path}")
     return 0
 
