@@ -190,12 +190,35 @@ def _bucket(n: int) -> int:
     return b
 
 
+def _pick_device(args, name: str):
+    """Resolve an `<stage>_device: N` config knob to a jax.Device.
+
+    The single-chip default (None) keeps everything on the default device.
+    On a multi-chip host, `mapping_device: 1` / `enhancement_device: 1`
+    move the NeRF training step and the DPT priors onto their own chip so
+    they no longer serialize against tracking's per-frame dispatches —
+    the multi-chip answer to SURVEY §7.3(4) (bench_pipeline measured
+    tracking at ~2-6 FPS when mapping shares the chip; the reference's
+    4-process design has the same one-GPU serialization, execute.py:91-109).
+    """
+    idx = getattr(args, f"{name}_device", None)
+    if idx is None:
+        return None
+    devs = jax.devices()
+    if idx >= len(devs):
+        raise ValueError(
+            f"{name}_device={idx} but only {len(devs)} devices present"
+        )
+    return devs[idx]
+
+
 class EnhancementStage:
     """Dense priors + alignment (reference EnhancementModule)."""
 
     def __init__(self, args):
         self.mode = getattr(args, "enhancement_module", "depth")
         self.mapping_name = getattr(args, "mapping_module", "nerfstudio")
+        self.device = _pick_device(args, "enhancement")
         self.estimator = (
             OmnidataEstimator(
                 use_normals="normal" in self.mode,
@@ -208,23 +231,42 @@ class EnhancementStage:
             if self.mode != "none"
             else None
         )
+        if self.estimator is not None and self.device is not None:
+            # pin the DPT weights to the enhancement chip; inputs follow
+            self.estimator.depth_params = jax.device_put(
+                self.estimator.depth_params, self.device
+            )
+            if self.estimator.normal_params is not None:
+                self.estimator.normal_params = jax.device_put(
+                    self.estimator.normal_params, self.device
+                )
 
     def step(self, packet: Optional[dict]) -> Optional[dict]:
         if packet is None:
             return None
         out = dict(packet)
-        # colors: [K, 3, H, W] u8 -> [K, H, W, 3] f32 in [0, 1]
-        colors = np.moveaxis(packet["frames_color"], 1, -1).astype(
-            np.float32
-        ) / 255.0
+        # colors: [K, 3, H, W] u8 -> [K, H, W, 3] f32 in [0, 1].
+        # The u8 HWC copy is the ONLY host-side touch; the float conversion
+        # and everything downstream (DPT, alignment, normals) stays device-
+        # resident so no keyframe forces a D2H sync — bench_pipeline
+        # measured the old np round-trip at ~187 ms/keyframe on top of the
+        # 31 ms DPT forward (tpu_runs/bench_pipeline.log, 2026-08-20).
+        colors_u8 = jax.device_put(
+            np.ascontiguousarray(np.moveaxis(packet["frames_color"], 1, -1)),
+            self.device,
+        )
+        colors = colors_u8.astype(jnp.float32) / 255.0
         out["frames_color_float"] = colors
 
         if self.estimator is not None and "dpvo_patches" in packet:
-            K = colors.shape[0]
+            K = int(colors.shape[0])
             B = _bucket(K)
-            pad = ((0, B - K),) + ((0, 0),) * (colors.ndim - 1)
-            colors_b = np.pad(colors, pad, mode="edge")
-            depth_raw, normal_raw = self.estimator(jnp.asarray(colors_b))
+            colors_b = (
+                jnp.concatenate(
+                    [colors, jnp.repeat(colors[-1:], B - K, axis=0)], 0
+                ) if B > K else colors
+            )
+            depth_raw, normal_raw = self.estimator(colors_b)
             patches = packet["dpvo_patches"]  # [K, P, 3, 3, 3]
             centers = patches[:, :, :2, 1, 1]  # [K, P, (x, y)] at 1/4 res
             invd = patches[:, :, 2, 1, 1]  # [K, P]
@@ -232,13 +274,14 @@ class EnhancementStage:
                 a, ((0, B - K),) + ((0, 0),) * (a.ndim - 1), mode="edge"
             )
             aligned, scale, shift = alignment.align_frames(
-                depth_raw, jnp.asarray(pad_k(centers)),
-                jnp.asarray(pad_k(invd)),
+                depth_raw,
+                jax.device_put(pad_k(centers), self.device),
+                jax.device_put(pad_k(invd), self.device),
             )
-            out["frames_depth"] = np.asarray(aligned)[:K]
+            out["frames_depth"] = aligned[:K]
             if normal_raw is not None:
-                out["frames_normal"] = np.asarray(
-                    alignment.decode_normals(normal_raw)
+                out["frames_normal"] = alignment.decode_normals(
+                    normal_raw
                 )[:K]
         elif "droid_slam_inverse_depth" in packet:
             # DROID path: depth = 1 / inverse depth (reference
@@ -331,11 +374,22 @@ class MappingStage:
             ),
             num_keyframes=K,
         )
+        self.device = _pick_device(args, "mapping")
+        self._put = (
+            (lambda x: jax.device_put(x, self.device))
+            if self.device is not None else jnp.asarray
+        )
         self.state = self.trainer.init(jax.random.PRNGKey(42))
         self.buffer = kb.create(
             K, H, W, use_normals=use_normals,
             use_depth_cov=ngp,
         )
+        if self.device is not None:
+            # pin the train state + keyframe buffers to the mapping chip:
+            # every train_step then runs there, concurrent with tracking's
+            # dispatches on the default chip
+            self.state = jax.device_put(self.state, self.device)
+            self.buffer = jax.device_put(self.buffer, self.device)
         self.num_inserted = 0
         self.step_count = 0
         self.last_received = 0
@@ -345,7 +399,7 @@ class MappingStage:
             args, "mapping_snapshot_iterations", args.mapping_iterations
         )
         self.num_keyframes = K
-        self._key = jax.random.PRNGKey(7)
+        self._key = self._put(jax.random.PRNGKey(7))
         self.metrics_history: List[Dict[str, float]] = []
         # preview dumps replace the reference's live viser viewer
         # (nerf_vo/mapping/nerfstudio.py:101-102,125-137): rendered RGB/depth
@@ -377,7 +431,9 @@ class MappingStage:
         take = min(n, self.num_keyframes - self.num_inserted)
         if take < n:
             packet = {  # buffer full: keep the newest
-                k: v[:take] if isinstance(v, np.ndarray) and v.ndim > 0 else v
+                k: v[:take]
+                if isinstance(v, (np.ndarray, jax.Array)) and v.ndim > 0
+                else v
                 for k, v in packet.items()
             }
             n = take
@@ -388,28 +444,35 @@ class MappingStage:
         B = _bucket(n)
 
         def pad_k(a):
+            # device arrays pad on device — pulling a [K, H, W, 3] float
+            # frame back to host costs a forced sync + D2H + H2D per
+            # keyframe (the enhancement stage now keeps packets resident)
+            if isinstance(a, jax.Array):
+                return jnp.concatenate(
+                    [a, jnp.repeat(a[-1:], B - n, axis=0)], 0
+                ) if B > n else a
             a = np.asarray(a)
             return np.concatenate(
                 [a, np.repeat(a[-1:], B - n, axis=0)], 0
             ) if B > n else a
 
-        idx = jnp.asarray(
+        idx = self._put(
             np.concatenate(
                 [np.arange(self.num_inserted, self.num_inserted + n),
                  np.full(B - n, self.num_inserted + n - 1)]
-            ), jnp.int32,
+            ).astype(np.int32)
         )
         ins = {
-            "intrinsics": jnp.asarray(pad_k(packet["camera_intrinsics"])),
-            "c2w": jnp.asarray(pad_k(packet["camera_extrinsics"])),
-            "color": jnp.asarray(pad_k(packet["frames_color_float"])),
+            "intrinsics": self._put(pad_k(packet["camera_intrinsics"])),
+            "c2w": self._put(pad_k(packet["camera_extrinsics"])),
+            "color": self._put(pad_k(packet["frames_color_float"])),
         }
         if "frames_depth" in packet:
-            ins["depth"] = jnp.asarray(pad_k(packet["frames_depth"]))
+            ins["depth"] = self._put(pad_k(packet["frames_depth"]))
         if "frames_normal" in packet:
-            ins["normal"] = jnp.asarray(pad_k(packet["frames_normal"]))
+            ins["normal"] = self._put(pad_k(packet["frames_normal"]))
         if "frames_depth_cov" in packet:
-            ins["depth_cov"] = jnp.asarray(pad_k(packet["frames_depth_cov"]))
+            ins["depth_cov"] = self._put(pad_k(packet["frames_depth_cov"]))
         self.buffer = kb.insert(self.buffer, idx, ins)
         self.num_inserted += n
         self.last_received = 0

@@ -30,6 +30,11 @@ QUEUE = [
     ("bench_droid_r4", [sys.executable, "bench_droid.py"], 2400),
     ("exp_vo_cut_r4", [sys.executable, "scripts/exp_vo_cut.py"], 2400),
     ("exp_floor_r4", [sys.executable, "scripts/exp_floor.py"], 2400),
+    ("exp_gather_pallas",
+     [sys.executable, "scripts/exp_gather_pallas.py"], 2400),
+    # v2: decomposition arms (full spf=4/1, no-dpt) + the device-resident
+    # enhancement packet path landed after the first bench_pipeline run
+    ("bench_pipeline_v2", [sys.executable, "bench_pipeline.py"], 3600),
 ]
 
 
