@@ -1,25 +1,26 @@
-"""Pallas VMEM-resident brick-column gather (forward-path experiment).
+"""Pallas VMEM-resident brick-column gather/scatter (forward-floor attack).
 
-VERDICT r3 item 4: the mapping step's forward floor is the per-descriptor
-table gather (~4-5 ns/descriptor through XLA's take, best case with the
-4-way `_split_take` DMA overlap). The hypothesis here: at production
-geometry one scattered LEVEL's bf16 brick table is only 8 MB
-(16384 bricks x 256 rows), which fits VMEM — so a Pallas kernel can pin
-the whole level on-chip once and gather from VMEM at load-to-use latency
-instead of paying HBM random access per descriptor, and optionally FUSE
-the trilinear reduction so the [256, M] gathered block (100 MB/level at
-production M) never round-trips HBM at all.
+VERDICT r3 item 4: the mapping step's per-descriptor table ops are the
+hard floor (~8-9 ns/desc XLA gather at one scattered level's shape,
+~20 ns/desc XLA scatter-add — tpu_runs/exp_gather_pallas.log). At
+production geometry one scattered LEVEL's bf16 brick table is only 8 MB
+(16384 bricks x 256 rows) — it fits VMEM, so these kernels pin the whole
+level on-chip and walk descriptors with dynamic-SUBLANE row ops at
+load-to-use latency instead of paying HBM random access per descriptor.
 
-Layout: the kernel works on the BRICK-MAJOR transpose [bricks, 32*F] of
-the training layout [32*F, bricks] — gathers index the SUBLANE axis
-(Mosaic's dynamic-gather direction; lane-axis dynamic indexing does not
-exist). The caller keeps tables in the training layout and transposes once
-per step (8 MB of sequential traffic, ~10 us).
+Mosaic constraints discovered on-chip (2026-08-20 first attempt, banked
+in tpu_runs/exp_gather_pallas.log):
+  * `jnp.take` row-gather does NOT lower — Mosaic's dynamic_gather is
+    shape-preserving (input, indices, output must match);
+  * dynamic LANE indexing of a VMEM vector (idx_ref[0, 0, t]) does not
+    lower ("cannot statically prove index ... multiple of 128") — per-
+    descriptor indices must be SCALARS, i.e. live in SMEM.
+  So every kernel here DMAs its index tile into SMEM scratch and loops
+  descriptors with `tab_ref[idx_smem[t], :]` dynamic-sublane reads/writes.
 
 This module is an EXPERIMENT backend: scripts/exp_gather_pallas.py gates
 it on the real chip against the XLA split-take before any default flip.
-Correctness is pinned by tests/test_gather_pallas.py in interpret mode
-(CPU) and on-chip when TPU is present.
+Correctness is pinned by tests/test_gather_pallas.py in interpret mode.
 """
 
 from __future__ import annotations
@@ -31,59 +32,82 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# descriptors per grid step: the idx/out blocks stream through VMEM while
+# descriptors per grid step: idx/out blocks stream through SMEM/VMEM while
 # the table block stays resident (constant index_map)
 TILE = 2048
 
 
-def _gather_kernel(idx_ref, tab_ref, out_ref):
-    # idx block [1, TILE] int32, table resident [B, R], out [TILE, R]
-    out_ref[:] = jnp.take(tab_ref[:], idx_ref[0, :], axis=0)
+def _gather_kernel(idx_hbm, tab_ref, out_ref, idx_smem, sem):
+    i = pl.program_id(0)
+    T = out_ref.shape[0]
+    cp = pltpu.make_async_copy(idx_hbm.at[pl.ds(i * T, T)], idx_smem, sem)
+    cp.start()
+    cp.wait()
+
+    def body(t, _):
+        out_ref[t, :] = tab_ref[idx_smem[t], :]
+        return 0
+
+    jax.lax.fori_loop(0, T, body, 0, unroll=8)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "tile"))
 def gather_cols(tab_bm: jnp.ndarray, idx: jnp.ndarray,
-                interpret: bool = False) -> jnp.ndarray:
+                interpret: bool = False, tile: int = TILE) -> jnp.ndarray:
     """Gather brick rows from a VMEM-resident brick-major table.
 
     Args:
       tab_bm: [n_bricks, rows] bf16 — ONE level's table, brick-major.
-      idx: [M] int32 brick ids, M % TILE == 0.
+      idx: [M] int32 brick ids, M % tile == 0.
     Returns [M, rows] bf16.
     """
     B, R = tab_bm.shape
     M = idx.shape[0]
-    assert M % TILE == 0, (M, TILE)
-    idx2 = idx.reshape(-1, TILE)
+    assert M % tile == 0, (M, tile)
     return pl.pallas_call(
         _gather_kernel,
-        grid=(M // TILE,),
+        grid=(M // tile,),
         in_specs=[
-            pl.BlockSpec((1, TILE), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # idx stays off-VMEM
             pl.BlockSpec((B, R), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TILE, R), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((tile, R), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M, R), tab_bm.dtype),
+        scratch_shapes=[
+            pltpu.SMEM((tile,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
         interpret=interpret,
-    )(idx2, tab_bm)
+    )(idx, tab_bm)
 
 
-def _gather_interp_kernel(idx_ref, w_ref, tab_ref, out_ref, *, F: int):
-    # fused: gather [TILE, 32F] then contract the 27 corner entries with
-    # the trilinear weights — the [TILE, 32F] block never leaves VMEM
-    g = jnp.take(tab_ref[:], idx_ref[0, :], axis=0)  # [TILE, 32F]
-    T = g.shape[0]
-    g3 = g.reshape(T, 32, F).astype(jnp.float32)
-    w = w_ref[:].astype(jnp.float32)  # [TILE, 32] (rows 27..31 zero)
+def _gather_interp_kernel(idx_hbm, w_ref, tab_ref, out_ref, idx_smem,
+                          g_vmem, sem, *, F: int):
+    i = pl.program_id(0)
+    T = out_ref.shape[0]
+    cp = pltpu.make_async_copy(idx_hbm.at[pl.ds(i * T, T)], idx_smem, sem)
+    cp.start()
+    cp.wait()
+
+    def body(t, _):
+        g_vmem[t, :] = tab_ref[idx_smem[t], :]
+        return 0
+
+    jax.lax.fori_loop(0, T, body, 0, unroll=8)
+    # trilinear 27-corner contraction, vectorized over the tile — the
+    # [T, 32F] gathered block never leaves VMEM
+    g3 = g_vmem[:].reshape(T, 32, F).astype(jnp.float32)
+    w = w_ref[:].astype(jnp.float32)  # [T, 32] (rows 27..31 zero)
     out_ref[:] = jnp.sum(g3 * w[:, :, None], axis=1).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("features", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("features", "interpret", "tile"))
 def gather_interp(tab_bm: jnp.ndarray, idx: jnp.ndarray, w: jnp.ndarray,
-                  features: int, interpret: bool = False) -> jnp.ndarray:
+                  features: int, interpret: bool = False,
+                  tile: int = TILE) -> jnp.ndarray:
     """Fused gather + trilinear reduce: returns [M, F] bf16 features.
 
     Args:
@@ -95,52 +119,86 @@ def gather_interp(tab_bm: jnp.ndarray, idx: jnp.ndarray, w: jnp.ndarray,
     F = features
     assert R == 32 * F, (R, F)
     M = idx.shape[0]
-    assert M % TILE == 0, (M, TILE)
+    assert M % tile == 0, (M, tile)
     kernel = functools.partial(_gather_interp_kernel, F=F)
     return pl.pallas_call(
         kernel,
-        grid=(M // TILE,),
+        grid=(M // tile,),
         in_specs=[
-            pl.BlockSpec((1, TILE), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, 32), lambda i: (i, 0),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((tile, 32), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((B, R), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TILE, F), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((tile, F), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M, F), jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.SMEM((tile,), jnp.int32),
+            pltpu.VMEM((tile, R), tab_bm.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
         interpret=interpret,
-    )(idx.reshape(-1, TILE), w, tab_bm)
+    )(idx, w, tab_bm)
 
 
-def _gather_kernel_i32(idx_ref, tab_ref, out_ref):
-    # 32-bit fallback: the table's bf16 pairs are pre-bitcast to int32
-    # lanes by the caller (some Mosaic versions only support dynamic
-    # sublane gathers at 32-bit element width)
-    out_ref[:] = jnp.take(tab_ref[:], idx_ref[0, :], axis=0)
+def _scatter_accum_kernel(idx_hbm, g_ref, out_ref, idx_smem, sem):
+    # VMEM-resident scatter-add: the [NB, R] output block has a constant
+    # index_map, so it stays in VMEM across grid steps and accumulates;
+    # each step adds its tile of brick cotangents row-by-row (dynamic
+    # sublane read-modify-write). The XLA scatter emitter is pinned at
+    # ~20-27 ns/descriptor at ANY payload width (tpu_runs/
+    # exp_scatter4.log); this tests whether VMEM residency escapes it.
+    i = pl.program_id(0)
+    T = g_ref.shape[0]
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    cp = pltpu.make_async_copy(idx_hbm.at[pl.ds(i * T, T)], idx_smem, sem)
+    cp.start()
+    cp.wait()
+
+    def body(t, _):
+        b = idx_smem[t]
+        out_ref[b, :] += g_ref[t, :].astype(out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, T, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def gather_cols_i32(tab_bm_i32: jnp.ndarray, idx: jnp.ndarray,
-                    interpret: bool = False) -> jnp.ndarray:
-    """gather_cols over an int32 view [n_bricks, rows//2] of the bf16
-    table; returns the int32 rows (caller bitcasts back)."""
-    B, R2 = tab_bm_i32.shape
-    M = idx.shape[0]
-    assert M % TILE == 0, (M, TILE)
+@functools.partial(jax.jit,
+                   static_argnames=("n_bricks", "interpret", "tile"))
+def scatter_cols_accum(g: jnp.ndarray, idx: jnp.ndarray, n_bricks: int,
+                       interpret: bool = False,
+                       tile: int = TILE) -> jnp.ndarray:
+    """Accumulate brick-row cotangents into a VMEM-resident table.
+
+    Args:
+      g: [M, rows] bf16 per-descriptor cotangent rows (brick-major).
+      idx: [M] int32 brick ids in [0, n_bricks).
+    Returns [n_bricks, rows] bf16 accumulated gradients — bf16 so the
+    8 MB resident table + streamed tiles fit the ~16 MB VMEM (and the
+    production backward already accumulates bf16, SCATTER_BF16).
+    """
+    M, R = g.shape
+    assert M % tile == 0, (M, tile)
     return pl.pallas_call(
-        _gather_kernel_i32,
-        grid=(M // TILE,),
+        _scatter_accum_kernel,
+        grid=(M // tile,),
         in_specs=[
-            pl.BlockSpec((1, TILE), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, R2), lambda i: (0, 0),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((tile, R), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TILE, R2), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((n_bricks, R), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((M, R2), tab_bm_i32.dtype),
+        out_shape=jax.ShapeDtypeStruct((n_bricks, R), jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.SMEM((tile,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
         interpret=interpret,
-    )(idx.reshape(-1, TILE), tab_bm_i32)
+    )(idx, g)

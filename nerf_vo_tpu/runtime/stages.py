@@ -267,16 +267,20 @@ class EnhancementStage:
                 ) if B > K else colors
             )
             depth_raw, normal_raw = self.estimator(colors_b)
-            patches = packet["dpvo_patches"]  # [K, P, 3, 3, 3]
+            # patches arrive as a DEVICE array from the tracker (no D2H in
+            # the packet path); slice + pad stay on device too
+            patches = jax.device_put(
+                jnp.asarray(packet["dpvo_patches"]), self.device
+            )  # [K, P, 3, 3, 3]
             centers = patches[:, :, :2, 1, 1]  # [K, P, (x, y)] at 1/4 res
             invd = patches[:, :, 2, 1, 1]  # [K, P]
-            pad_k = lambda a: np.pad(
-                a, ((0, B - K),) + ((0, 0),) * (a.ndim - 1), mode="edge"
+            pad_k = lambda a: (
+                jnp.concatenate(
+                    [a, jnp.repeat(a[-1:], B - K, axis=0)], 0
+                ) if B > K else a
             )
             aligned, scale, shift = alignment.align_frames(
-                depth_raw,
-                jax.device_put(pad_k(centers), self.device),
-                jax.device_put(pad_k(invd), self.device),
+                depth_raw, pad_k(centers), pad_k(invd)
             )
             out["frames_depth"] = aligned[:K]
             if normal_raw is not None:
@@ -300,10 +304,10 @@ class EnhancementStage:
         # and the eval-side MapRenderer both assume it), so the flip applies
         # unconditionally — feeding raw OpenCV poses to the instant-ngp mode
         # trained with y/z-mirrored camera axes.
-        out["camera_extrinsics"] = np.asarray(
-            conventions.opencv_to_opengl(
-                jnp.asarray(packet["camera_extrinsics"])
-            )
+        # stays a device array: a np.asarray here would stall the host on
+        # the full device queue once per keyframe (see keyframe_packet)
+        out["camera_extrinsics"] = conventions.opencv_to_opengl(
+            jnp.asarray(packet["camera_extrinsics"])
         )
         return out
 

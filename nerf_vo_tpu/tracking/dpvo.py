@@ -863,12 +863,19 @@ class DPVOTracker:
             [self.colors.pop(g, np.zeros((self.H, self.W, 3), np.uint8))
              for g in gids]
         )
+        # intrinsics/extrinsics/patches stay DEVICE arrays: a np.asarray
+        # here is a synchronous D2H that waits for every program already
+        # queued on the device — including the pipeline's interleaved
+        # mapping steps — re-serializing the whole pipeline once per
+        # keyframe (bench_pipeline_v2 measured all arms flattened to
+        # ~3.5 FPS by exactly this stall). The enhancement/mapping stages
+        # consume device arrays natively; colors come from the host ring.
         return {
             "keyframe_indices": np.asarray(gids, np.int64),
-            "camera_intrinsics": np.asarray(self.intrinsics4[idx])[:K0] * 4.0,
-            "camera_extrinsics": np.asarray(c2w, np.float32)[:K0],
+            "camera_intrinsics": self.intrinsics4[idx][:K0] * 4.0,
+            "camera_extrinsics": c2w[:K0].astype(jnp.float32),
             "frames_color": np.moveaxis(colors, -1, 1),  # [K, 3, H, W] uint8
-            "dpvo_patches": np.asarray(patches, np.float32)[:K0],
+            "dpvo_patches": patches[:K0].astype(jnp.float32),
             "last_frame": last_frame,
         }
 

@@ -8,10 +8,10 @@ samples = 196608 descriptors per level, 2 levels):
      [256, 49152] (lane-major gather) — the incumbent (4 splits measured
      2x once; "wider splits" is the cheap part of the VERDICT ask).
   2. Pallas `gather_cols`: whole level table resident in VMEM
-     (brick-major [16384, 256]), idx/out streamed in 2048-descriptor
-     tiles, in-kernel sublane dynamic gather.
-  3. Pallas `gather_cols_i32`: same with the bf16 pairs bitcast to int32
-     lanes (Mosaic dynamic-gather width fallback).
+     (brick-major [16384, 256]), idx tiles DMA'd to SMEM, dynamic-sublane
+     row reads in an unrolled fori_loop (Mosaic has no row-gather op —
+     see ops/gather_pallas.py module docstring for the first attempt's
+     negative results).
   4. Pallas `gather_interp`: gather FUSED with the trilinear 27-corner
      reduce — the [M, 256] gathered block never touches HBM; output is
      [M, 8] features. Compare against arm 5.
@@ -109,17 +109,6 @@ def main():
         print("pallas gather_cols FAILED to lower/run:", flush=True)
         traceback.print_exc(limit=3)
 
-    try:
-        tab_i32 = jax.lax.bitcast_convert_type(
-            tab_level.reshape(NB, R // 2, 2), jnp.int32
-        ).reshape(NB, R // 2)
-        dt = bench(lambda t, i: gp.gather_cols_i32(t, i), tab_i32, idx1)
-        print(f"pallas gather_cols_i32:       {dt*1e3:7.3f} ms "
-              f"({dt / M_LEVEL * 1e9:5.2f} ns/desc)", flush=True)
-    except Exception:
-        print("pallas gather_cols_i32 FAILED to lower/run:", flush=True)
-        traceback.print_exc(limit=3)
-
     # --- arm 4/5: fused gather+interp vs XLA chain ----------------------
     def xla_chain(t, ix, ww):
         g = jnp.take(t, ix, axis=0).astype(jnp.float32)  # [M, 256]
@@ -145,6 +134,37 @@ def main():
               flush=True)
     except Exception:
         print("pallas gather_interp FAILED to lower/run:", flush=True)
+        traceback.print_exc(limit=3)
+
+    # --- arm 6: VMEM-resident Pallas scatter-accumulate vs XLA scatter ---
+    # the backward table gradient: XLA's column scatter-add is pinned at
+    # ~22-27 ns/descriptor (tpu_runs/exp_scatter4.log); this accumulates
+    # into an 8 MB bf16 VMEM-resident table instead.
+    g_cot = jnp.asarray(rng.normal(0, 1e-2, (M_LEVEL, R)), jnp.bfloat16)
+
+    def xla_scatter(gg, ix):
+        return jnp.zeros((R, NB), jnp.bfloat16).at[:, ix].add(gg.T)
+
+    f = jax.jit(xla_scatter)
+    dt = bench(f, g_cot, idx1)
+    print(f"xla column scatter-add:       {dt*1e3:7.3f} ms "
+          f"({dt / M_LEVEL * 1e9:5.2f} ns/desc)", flush=True)
+    try:
+        dt = bench(
+            lambda gg, ix: gp.scatter_cols_accum(gg, ix, n_bricks=NB),
+            g_cot, idx1,
+        )
+        # correctness on a small slice (full-f32 reference too big to
+        # compare at bf16 tolerance anyway — check structure)
+        out = gp.scatter_cols_accum(g_cot, idx1, n_bricks=NB)
+        ref = xla_scatter(g_cot, idx1).T
+        err = float(jnp.mean(jnp.abs(out.astype(jnp.float32)
+                                     - ref.astype(jnp.float32))))
+        print(f"pallas scatter_cols_accum:    {dt*1e3:7.3f} ms "
+              f"({dt / M_LEVEL * 1e9:5.2f} ns/desc) meanerr={err:.2e}",
+              flush=True)
+    except Exception:
+        print("pallas scatter_cols_accum FAILED to lower/run:", flush=True)
         traceback.print_exc(limit=3)
 
     # --- context: the transpose cost the Pallas path pays per step ------

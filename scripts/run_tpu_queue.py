@@ -35,6 +35,9 @@ QUEUE = [
     # v2: decomposition arms (full spf=4/1, no-dpt) + the device-resident
     # enhancement packet path landed after the first bench_pipeline run
     ("bench_pipeline_v2", [sys.executable, "bench_pipeline.py"], 3600),
+    ("exp_raybatch2", [sys.executable, "scripts/exp_raybatch2.py"], 1800),
+    # v3: packet path fully device-resident (no per-keyframe D2H stall)
+    ("bench_pipeline_v3", [sys.executable, "bench_pipeline.py"], 3600),
 ]
 
 

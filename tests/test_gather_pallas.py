@@ -11,19 +11,22 @@ import pytest
 from nerf_vo_tpu.ops import gather_pallas as gp
 
 
+TILE = 128  # tiny tile: interpret mode walks tiles element-wise
+
+
 @pytest.fixture(scope="module")
 def data():
     rng = np.random.default_rng(0)
-    B, R, M = 64, 256, gp.TILE
+    B, R, M = 64, 256, 2 * TILE
     tab = jnp.asarray(rng.normal(size=(B, R)), jnp.bfloat16)
     idx = jnp.asarray(rng.integers(0, B, M), jnp.int32)
     return tab, idx, rng
 
 
-@pytest.mark.slow  # interpret mode walks the tile element-wise (~1 min CPU)
+@pytest.mark.slow
 def test_gather_cols_matches_take(data):
     tab, idx, _ = data
-    out = gp.gather_cols(tab, idx, interpret=True)
+    out = gp.gather_cols(tab, idx, interpret=True, tile=TILE)
     ref = jnp.take(tab, idx, axis=0)
     assert bool(jnp.all(out == ref))
 
@@ -34,7 +37,8 @@ def test_gather_interp_matches_chain(data):
     M = idx.shape[0]
     w = jnp.asarray(rng.uniform(0, 1, (M, 32)), jnp.bfloat16)
     out = np.asarray(
-        gp.gather_interp(tab, idx, w, features=8, interpret=True), np.float32
+        gp.gather_interp(tab, idx, w, features=8, interpret=True,
+                         tile=TILE), np.float32
     )
     ref = np.take(np.asarray(tab, np.float32), np.asarray(idx), axis=0)
     want = np.sum(
@@ -43,3 +47,20 @@ def test_gather_interp_matches_chain(data):
     # forward gathers a bf16 table and multiplies bf16 weights in f32:
     # tolerance is the bf16 product rounding over the 27-term reduce
     assert float(np.max(np.abs(out - want))) < 0.05
+
+
+@pytest.mark.slow
+def test_scatter_accum_matches_xla(data):
+    tab, idx, rng = data
+    M = idx.shape[0]
+    NB = 64
+    g = jnp.asarray(rng.normal(0, 0.1, (M, 256)), jnp.bfloat16)
+    out = np.asarray(
+        gp.scatter_cols_accum(g, idx, n_bricks=NB, interpret=True,
+                              tile=TILE),
+        np.float32,
+    )
+    ref = np.zeros((NB, 256), np.float32)
+    np.add.at(ref, np.asarray(idx), np.asarray(g, np.float32))
+    # bf16 accumulation over ~M/NB = 32 adds per brick
+    assert float(np.max(np.abs(out - ref))) < 0.2

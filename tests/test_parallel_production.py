@@ -57,15 +57,24 @@ def _buffer():
     return kb.insert(buf, jnp.arange(K), packet)
 
 
-def _assert_finite_step(state2, metrics, state0):
+def _snapshot_params(state):
+    """Host copies of the param leaves — the sharded steps DONATE their
+    input state, so the originals are deleted after the call."""
+    return [
+        (path, np.asarray(leaf))
+        for path, leaf in jax.tree_util.tree_leaves_with_path(state.params)
+    ]
+
+
+def _assert_finite_step(state2, metrics, before):
     assert np.isfinite(float(metrics["loss"]))
     moved = 0
-    for (p0, l0), (p2, l2) in zip(
-        jax.tree_util.tree_leaves_with_path(state0.params),
-        jax.tree_util.tree_leaves_with_path(state2.params),
-    ):
-        a0, a2 = np.asarray(l0), np.asarray(l2)
-        assert np.isfinite(a2).all(), jax.tree_util.keystr(p2)
+    after = jax.tree_util.tree_leaves_with_path(state2.params)
+    assert len(before) == len(after)
+    for (path0, a0), (path2, l2) in zip(before, after):
+        assert path0 == path2
+        a2 = np.asarray(l2)
+        assert np.isfinite(a2).all(), jax.tree_util.keystr(path2)
         if not np.array_equal(a0, a2):
             moved += 1
     assert moved > 0, "optimizer step did not update any parameter"
@@ -79,9 +88,10 @@ def test_production_shape_tp_step():
     buf = _buffer()
     mesh = sharding.make_mesh_2d(4, 2)
     st = sharding.shard_state_tp(trainer.init(jax.random.PRNGKey(0)), mesh)
+    before = _snapshot_params(st)
     step = sharding.make_dp_tp_train_step(trainer, mesh)
     st2, m = step(st, sharding.replicate(buf, mesh), jax.random.PRNGKey(1))
-    _assert_finite_step(st2, m, st)
+    _assert_finite_step(st2, m, before)
 
 
 @pytest.mark.slow
@@ -93,10 +103,11 @@ def test_production_shape_descriptor_sharded_step():
     buf = _buffer()
     mesh = sharding.make_mesh_2d(4, 2)
     st = sharding.shard_state_tp(trainer.init(jax.random.PRNGKey(0)), mesh)
+    before = _snapshot_params(st)
     step = sharding.make_dp_tp_train_step(trainer, mesh,
                                           descriptor_sharding=True)
     st2, m = step(st, sharding.replicate(buf, mesh), jax.random.PRNGKey(1))
-    _assert_finite_step(st2, m, st)
+    _assert_finite_step(st2, m, before)
 
 
 def test_a2a_capacity_headroom_at_production_shapes():
