@@ -37,6 +37,27 @@ from jax.experimental.pallas import tpu as pltpu
 TILE = 2048
 
 
+def _gather_rows_8(tab_ref, idx_smem, base):
+    """Gather 8 arbitrary table rows into one [8, R] register block.
+
+    Mosaic only allows dynamic SUBLANE slices at provable multiples of 8
+    (second on-chip attempt: "cannot statically prove that index in
+    dimension 0 is a multiple of 8"), so each row is fetched as its
+    aligned 8-row block, rotated so the target row lands in its output
+    slot (tpu.DynamicRotate supports traced shifts), and masked in.
+    """
+    R = tab_ref.shape[1]
+    acc = jnp.zeros((8, R), tab_ref.dtype)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    for j in range(8):  # static unroll
+        b = idx_smem[base + j]
+        b8 = pl.multiple_of((b // 8) * 8, 8)
+        blk = tab_ref[pl.ds(b8, 8), :]
+        rolled = pltpu.roll(blk, j - (b % 8), axis=0)
+        acc = jnp.where(slot == j, rolled, acc)
+    return acc
+
+
 def _gather_kernel(idx_hbm, tab_ref, out_ref, idx_smem, sem):
     i = pl.program_id(0)
     T = out_ref.shape[0]
@@ -44,11 +65,12 @@ def _gather_kernel(idx_hbm, tab_ref, out_ref, idx_smem, sem):
     cp.start()
     cp.wait()
 
-    def body(t, _):
-        out_ref[t, :] = tab_ref[idx_smem[t], :]
+    def body(g, _):
+        g8 = pl.multiple_of(g * 8, 8)
+        out_ref[pl.ds(g8, 8), :] = _gather_rows_8(tab_ref, idx_smem, g8)
         return 0
 
-    jax.lax.fori_loop(0, T, body, 0, unroll=8)
+    jax.lax.fori_loop(0, T // 8, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "tile"))
@@ -91,11 +113,12 @@ def _gather_interp_kernel(idx_hbm, w_ref, tab_ref, out_ref, idx_smem,
     cp.start()
     cp.wait()
 
-    def body(t, _):
-        g_vmem[t, :] = tab_ref[idx_smem[t], :]
+    def body(g, _):
+        g8 = pl.multiple_of(g * 8, 8)
+        g_vmem[pl.ds(g8, 8), :] = _gather_rows_8(tab_ref, idx_smem, g8)
         return 0
 
-    jax.lax.fori_loop(0, T, body, 0, unroll=8)
+    jax.lax.fori_loop(0, T // 8, body, 0)
     # trilinear 27-corner contraction, vectorized over the tile — the
     # [T, 32F] gathered block never leaves VMEM
     g3 = g_vmem[:].reshape(T, 32, F).astype(jnp.float32)
@@ -161,12 +184,29 @@ def _scatter_accum_kernel(idx_hbm, g_ref, out_ref, idx_smem, sem):
     cp.start()
     cp.wait()
 
-    def body(t, _):
-        b = idx_smem[t]
-        out_ref[b, :] += g_ref[t, :].astype(out_ref.dtype)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+
+    def body(g, _):
+        # read each cotangent row from an aligned 8-row block of g_ref,
+        # rotate it onto its target table row's position within the
+        # target's aligned block, mask, and read-modify-write that block
+        g8 = pl.multiple_of(g * 8, 8)
+        rows = g_ref[pl.ds(g8, 8), :]
+
+        def sub(j, _):
+            b = idx_smem[g8 + j]
+            b8 = pl.multiple_of((b // 8) * 8, 8)
+            upd = pltpu.roll(rows, (b % 8) - j, axis=0)
+            blk = out_ref[pl.ds(b8, 8), :]
+            out_ref[pl.ds(b8, 8), :] = jnp.where(
+                slot == b % 8, blk + upd.astype(blk.dtype), blk
+            )
+            return 0
+
+        jax.lax.fori_loop(0, 8, sub, 0)
         return 0
 
-    jax.lax.fori_loop(0, T, body, 0)
+    jax.lax.fori_loop(0, T // 8, body, 0)
 
 
 @functools.partial(jax.jit,

@@ -47,7 +47,15 @@ _PRIMES = (1, 2654435761, 805459861)
 
 _BRICK = 27  # 3x3x3 corner lattice of a 2x2x2-cell region
 _BRICK_PAD = 32  # padded column height per feature
-_GATHER_SPLITS = 4  # independent takes per gather (DMA overlap, measured 2x)
+# Independent takes per gather (DMA overlap): 4 measured 2x over 1 take at
+# round-2 shapes; the round-4 isolated sweep at one scattered level's shape
+# reads 1/2/4/8/16 = 3.48/4.04/4.00/3.14/3.09 ms (tpu_runs/
+# exp_gather_pallas.log) — 16 beats 4 by ~25% in isolation. Env-overridable
+# so bench.py can gate the flip IN-STEP (isolated takes don't see the
+# fusion XLA applies when the gather feeds the interpolation directly).
+import os as _os
+
+_GATHER_SPLITS = int(_os.environ.get("NERF_VO_GATHER_SPLITS", "4"))
 # Dense levels with at most this many bricks are encoded via a one-hot MXU
 # matmul instead of gather/scatter: descriptors cost ~4-5 ns fwd / ~17 ns
 # bwd EACH (scripts/exp_gather.py), so a [N, 512] one-hot product (~0.5 ms

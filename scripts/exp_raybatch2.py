@@ -164,34 +164,82 @@ def main():
         print(f"d3. pixel take split {s:2d}:           {dt*1e3:7.3f} ms",
               flush=True)
 
-    # d4. row-take formulation: gather whole [C]-channel pixels as ROWS of
-    # a [K*H*W, C] view — one descriptor per RAY (4096, not 28K), each
-    # moving 28 B; the serial-latency hypothesis predicts ~R * 170 ns
-    # ~ 0.7 ms
-    def pixel_take_rows(b):
-        base = (frame * H + py) * W + px
-        return jnp.take(b.pixels.reshape(-1, C), base, axis=0)
+    # (a [K*H*W, C] row-take formulation OOMs: XLA materializes the
+    # C=7-lane reshape padded to 128 lanes = 22.6 GB — the verify-skill
+    # "tiny trailing dim" gotcha; keep pixel gathers on FLAT views.)
 
-    f = jax.jit(pixel_take_rows)
+    # d6. OPERAND-SIZE scaling: gather the same 28K descriptors from the
+    # first half of the buffer only. If the 4.78 ms is an operand-bytes
+    # bound (the emitter effectively scanning the 1.24 GB buffer at
+    # ~260 GB/s), this halves; if it is per-descriptor latency, it holds.
+    halfK = 96
+
+    def pixel_take_half(b):
+        fr2 = jnp.minimum(frame, halfK - 1)
+        base = ((fr2 * H + py) * W + px) * C
+        flat = b.pixels.reshape(-1)[: halfK * H * W * C]
+        return jnp.take(
+            flat,
+            base[:, None] + jnp.arange(C, dtype=jnp.int32)[None, :],
+            axis=0,
+        )
+
+    f = jax.jit(pixel_take_half)
     dt = bench(f, buf)
-    print(f"d4. pixel take rows [R, C]:        {dt*1e3:7.3f} ms", flush=True)
+    print(f"d6. pixel take, half operand:      {dt*1e3:7.3f} ms", flush=True)
 
-    # d5. row-take + splits
-    for s in (4, 8):
-        def pixel_take_rows_split(b, s=s):
-            base = (frame * H + py) * W + px
-            k = R // s
-            parts = [
-                jnp.take(b.pixels.reshape(-1, C), base[j * k:(j + 1) * k],
-                         axis=0)
-                for j in range(s)
-            ]
-            return jnp.concatenate(parts, axis=0)
+    # d7. DESCRIPTOR-COUNT scaling: 2x rays from the full buffer.
+    frame2 = jnp.concatenate([frame, frame])
+    py2 = jnp.concatenate([py, py])
+    px2 = jnp.concatenate([px, jnp.flip(px)])
 
-        f = jax.jit(pixel_take_rows_split)
-        dt = bench(f, buf)
-        print(f"d5. pixel take rows split {s:2d}:      {dt*1e3:7.3f} ms",
-              flush=True)
+    def pixel_take_2x(b):
+        base = ((frame2 * H + py2) * W + px2) * C
+        return jnp.take(
+            b.pixels.reshape(-1),
+            base[:, None] + jnp.arange(C, dtype=jnp.int32)[None, :],
+            axis=0,
+        )
+
+    f = jax.jit(pixel_take_2x)
+    dt = bench(f, buf)
+    print(f"d7. pixel take, 2x descriptors:    {dt*1e3:7.3f} ms", flush=True)
+
+    # d8. halve the operand BYTES: gather from a bf16 shadow of the pixel
+    # buffer (color/depth/normal survive bf16 for training targets). If
+    # operand-bytes-bound this buys ~2x on its own.
+    pix_bf16 = jnp.asarray(buf.pixels, jnp.bfloat16)
+
+    def pixel_take_bf16(p):
+        base = ((frame * H + py) * W + px) * C
+        return jnp.take(
+            p.reshape(-1),
+            base[:, None] + jnp.arange(C, dtype=jnp.int32)[None, :],
+            axis=0,
+        )
+
+    f = jax.jit(pixel_take_bf16)
+    dt = bench(f, pix_bf16)
+    print(f"d8. pixel take, bf16 operand:      {dt*1e3:7.3f} ms", flush=True)
+
+    # d9. SORTED indices: if the gather is DRAM-page-locality-bound,
+    # sorting the 28K flat indices (then unsorting the result) converts
+    # random walks into ~sequential page visits. Sort costs ~26 ns/desc
+    # (exp_scatter4) = ~0.75 ms at 28K — worth it if it unlocks 3 ms.
+    def pixel_take_sorted(b):
+        base = ((frame * H + py) * W + px) * C
+        flat = (base[:, None]
+                + jnp.arange(C, dtype=jnp.int32)[None, :]).reshape(-1)
+        order = jnp.argsort(flat)
+        got = jnp.take(b.pixels.reshape(-1), flat[order], axis=0)
+        inv = jnp.zeros_like(order).at[order].set(
+            jnp.arange(order.shape[0], dtype=order.dtype)
+        )
+        return jnp.take(got, inv, axis=0).reshape(R, C)
+
+    f = jax.jit(pixel_take_sorted)
+    dt = bench(f, buf)
+    print(f"d9. pixel take, sorted+unsort:     {dt*1e3:7.3f} ms", flush=True)
 
 
 if __name__ == "__main__":

@@ -36,6 +36,13 @@ QUEUE = [
     # enhancement packet path landed after the first bench_pipeline run
     ("bench_pipeline_v2", [sys.executable, "bench_pipeline.py"], 3600),
     ("exp_raybatch2", [sys.executable, "scripts/exp_raybatch2.py"], 1800),
+    # in-step gate for the isolated 25% split win (exp_gather_pallas):
+    # same bench, NERF_VO_GATHER_SPLITS=16
+    ("bench_splits16",
+     [sys.executable, "-c",
+      "import os; os.environ['NERF_VO_GATHER_SPLITS']='16'; "
+      "import runpy; runpy.run_path('bench.py', run_name='__main__')"],
+     1800),
     # v3: packet path fully device-resident (no per-keyframe D2H stall)
     ("bench_pipeline_v3", [sys.executable, "bench_pipeline.py"], 3600),
 ]
