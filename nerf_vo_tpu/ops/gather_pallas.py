@@ -47,15 +47,17 @@ def _gather_rows_8(tab_ref, idx_smem, base):
     slot (tpu.DynamicRotate supports traced shifts), and masked in.
     """
     R = tab_ref.shape[1]
-    acc = jnp.zeros((8, R), tab_ref.dtype)
+    # rolls happen in f32 registers: tpu.DynamicRotate only supports
+    # 32-bit data (third on-chip attempt: "Rotate with non-32-bit data")
+    acc = jnp.zeros((8, R), jnp.float32)
     slot = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
     for j in range(8):  # static unroll
         b = idx_smem[base + j]
         b8 = pl.multiple_of((b // 8) * 8, 8)
-        blk = tab_ref[pl.ds(b8, 8), :]
+        blk = tab_ref[pl.ds(b8, 8), :].astype(jnp.float32)
         rolled = pltpu.roll(blk, j - (b % 8), axis=0)
         acc = jnp.where(slot == j, rolled, acc)
-    return acc
+    return acc.astype(tab_ref.dtype)
 
 
 def _gather_kernel(idx_hbm, tab_ref, out_ref, idx_smem, sem):
@@ -191,16 +193,16 @@ def _scatter_accum_kernel(idx_hbm, g_ref, out_ref, idx_smem, sem):
         # rotate it onto its target table row's position within the
         # target's aligned block, mask, and read-modify-write that block
         g8 = pl.multiple_of(g * 8, 8)
-        rows = g_ref[pl.ds(g8, 8), :]
+        rows = g_ref[pl.ds(g8, 8), :].astype(jnp.float32)
 
         def sub(j, _):
             b = idx_smem[g8 + j]
             b8 = pl.multiple_of((b // 8) * 8, 8)
             upd = pltpu.roll(rows, (b % 8) - j, axis=0)
-            blk = out_ref[pl.ds(b8, 8), :]
+            blk = out_ref[pl.ds(b8, 8), :].astype(jnp.float32)
             out_ref[pl.ds(b8, 8), :] = jnp.where(
-                slot == b % 8, blk + upd.astype(blk.dtype), blk
-            )
+                slot == b % 8, blk + upd, blk
+            ).astype(out_ref.dtype)
             return 0
 
         jax.lax.fori_loop(0, 8, sub, 0)
