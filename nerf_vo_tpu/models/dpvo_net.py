@@ -148,20 +148,56 @@ class GatedResidual(nn.Module):
 class SoftAgg(nn.Module):
     """Channel-wise softmax-weighted aggregation over a grouping index
     (upstream SoftAgg: w = scatter_softmax(g(x)); y = scatter_sum(f(x)*w);
-    out = h(y) expanded back to edges)."""
+    out = h(y) expanded back to edges).
+
+    Two mathematically identical routes:
+      * scatter route (``members=None``): three segment scatters — each at
+        the measured ~21-27 ns/descriptor TPU scatter floor; the whole-net
+        attribution put soft aggregation at +4.2 ms of the update step
+        (tpu_runs/exp_vo_cut_r4.log).
+      * member-table route: ``members [G, T]`` lists each group's edge
+        slots (pad -1). The output only needs GROUP sums, so one fused
+        [G, T, 2D] gather + axis reductions replace every scatter —
+        gathers sit at the cheap ~4-5 ns/descriptor floor. The tracker
+        gets the table for free: its neighbor-lookup scatter ``nbr_tab``
+        (one int32 [E] scatter, already paid for ix/jx) reshapes into the
+        member lists of BOTH aggregation groups.
+    """
 
     dim: int = 384
 
     @nn.compact
-    def __call__(self, x, groups, num_groups: int):
-        # x: [E, D]; groups: [E] int32 in [0, num_groups)
+    def __call__(self, x, groups, num_groups: int, members=None):
+        # x: [E, D]; groups: [E] int32 in [0, num_groups); dead edges must
+        # use the trash group ``num_groups - 1``.
         gx = nn.Dense(self.dim, name="g")(x)  # [E, D]
         fx = nn.Dense(self.dim, name="f")(x)
-        gmax = jnp.full((num_groups, self.dim), -jnp.inf).at[groups].max(gx)
-        ex = jnp.exp(gx - gmax[groups])
-        gsum = jnp.zeros((num_groups, self.dim)).at[groups].add(ex)
-        w = ex / jnp.clip(gsum[groups], 1e-12)
-        y = jnp.zeros((num_groups, self.dim)).at[groups].add(fx * w)
+        if members is None:
+            gmax = jnp.full(
+                (num_groups, self.dim), -jnp.inf
+            ).at[groups].max(gx)
+            ex = jnp.exp(gx - gmax[groups])
+            gsum = jnp.zeros((num_groups, self.dim)).at[groups].add(ex)
+            w = ex / jnp.clip(gsum[groups], 1e-12)
+            y = jnp.zeros((num_groups, self.dim)).at[groups].add(fx * w)
+            return nn.Dense(self.dim, name="h")(y)[groups]
+
+        # members: [G, T] edge slots per group, -1 = pad; G == num_groups-1
+        # (the trash group has no member list — its row is zero by
+        # construction, exactly what dead edges should read back).
+        valid = (members >= 0)[..., None]          # [G, T, 1]
+        m = jnp.clip(members, 0)
+        gfm = jnp.concatenate([gx, fx], axis=-1)[m]  # ONE [G, T, 2D] gather
+        gxm = jnp.where(valid, gfm[..., : self.dim], -jnp.inf)
+        fxm = gfm[..., self.dim:]
+        gmax = jnp.max(gxm, axis=1)                # [G, D]
+        gmax = jnp.where(jnp.isfinite(gmax), gmax, 0.0)
+        exm = jnp.exp(gxm - gmax[:, None, :])      # invalid -> exp(-inf)=0
+        gsum = jnp.sum(exm, axis=1)
+        y = jnp.sum(fxm * exm, axis=1) / jnp.clip(gsum, 1e-12)
+        y = jnp.concatenate(
+            [y, jnp.zeros((1, self.dim), y.dtype)], axis=0
+        )  # trash row
         return nn.Dense(self.dim, name="h")(y)[groups]
 
 
@@ -173,7 +209,8 @@ class UpdateNet(nn.Module):
 
     @nn.compact
     def __call__(self, net, imap, corr, kk, pair, ix, jx, live,
-                 num_patches: int, num_pairs: int, stop_after: int = 0):
+                 num_patches: int, num_pairs: int, stop_after: int = 0,
+                 mt_kk=None, mt_ij=None):
         """
         Args:
           net: [E, D] hidden state per edge.
@@ -190,6 +227,11 @@ class UpdateNet(nn.Module):
             1 = corr MLP, 2 = neighbor mixing, 3 = soft aggregation,
             4 = GRU blocks; 0 = full. Early returns carry zero
             delta/weight so downstream ops dead-code-eliminate.
+          mt_kk: optional [num_patches, T] member table for the patch
+            aggregation (edge slots per patch, -1 pad) — switches SoftAgg
+            to its gather route (see SoftAgg docstring).
+          mt_ij: optional [num_pairs, T'] member table for the frame-pair
+            aggregation.
 
         Returns: (net', delta [E, 2], weight [E, 2])
         """
@@ -219,10 +261,10 @@ class UpdateNet(nn.Module):
             return net, z2, z2
 
         net = net + SoftAgg(self.dim, name="agg_kk")(
-            net, kk, num_patches + 1
+            net, kk, num_patches + 1, mt_kk
         )
         net = net + SoftAgg(self.dim, name="agg_ij")(
-            net, pair, num_pairs + 1
+            net, pair, num_pairs + 1, mt_ij
         )
         if stop_after == 3:
             return net, z2, z2
@@ -264,9 +306,11 @@ class DPVONet(nn.Module):
         return fmap1, avg_pool2(fmap1), imap
 
     def update_step(self, net, imap, corr, kk, pair, ix, jx, live,
-                    num_patches, num_pairs, stop_after=0):
+                    num_patches, num_pairs, stop_after=0,
+                    mt_kk=None, mt_ij=None):
         return self.update(net, imap, corr, kk, pair, ix, jx, live,
-                           num_patches, num_pairs, stop_after)
+                           num_patches, num_pairs, stop_after,
+                           mt_kk, mt_ij)
 
     def __call__(self, images, net, imap_e, corr, kk, pair, ix, jx, live):
         """Joint forward for init only."""

@@ -370,6 +370,16 @@ class DPVOTracker:
         pair_g = jnp.where(
             e_live, jnp.clip(base, 0) * R + e_jj_c % R, LIFE * R
         )
+        # nbr_tab doubles as the SoftAgg member tables (exp_vo_cut_r4
+        # attributed +4.2 ms to the scatter-route soft aggregation): row
+        # kk*R + jj%R holds the one edge of (patch kk, target jj), so a
+        # reshape lists each patch's edges [KL, R], and a transpose lists
+        # each (host-window-pos, target)-pair's edges over patches
+        # [LIFE*R, P] — the exact pair_g grouping. Zero extra scatters.
+        mt_kk = nbr_tab[: KL * R].reshape(KL, R)
+        mt_ij = (
+            mt_kk.reshape(LIFE, P, R).transpose(0, 2, 1).reshape(LIFE * R, P)
+        )
 
         im_e = imap[jnp.clip(e_host_ring, 0, R - 1), kk % P].astype(jnp.float32)
         # profile_cut 11-14: stop INSIDE the update net (corr MLP /
@@ -377,7 +387,7 @@ class DPVOTracker:
         net_stop = profile_cut - 10 if 11 <= profile_cut <= 14 else 0
         h, delta, weight = self.net.apply(
             params, h, im_e, corr, kk_g, pair_g, ix, jx, e_live,
-            KL, LIFE * R, net_stop,
+            KL, LIFE * R, net_stop, mt_kk, mt_ij,
             method=self.net.update_step,
         )
         if net_stop:

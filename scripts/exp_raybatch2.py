@@ -177,7 +177,10 @@ def main():
     def pixel_take_half(b):
         fr2 = jnp.minimum(frame, halfK - 1)
         base = ((fr2 * H + py) * W + px) * C
-        flat = b.pixels.reshape(-1)[: halfK * H * W * C]
+        # row-slice FIRST, then collapse: slicing the flat view instead made
+        # XLA materialize a [K*H*W, C] reshape lane-padded to 128 = 22.6 GB
+        # (HBM OOM, tpu_runs/exp_raybatch2.log 09:04)
+        flat = b.pixels[:halfK].reshape(-1)
         return jnp.take(
             flat,
             base[:, None] + jnp.arange(C, dtype=jnp.int32)[None, :],

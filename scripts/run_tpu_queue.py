@@ -37,7 +37,9 @@ QUEUE = [
     ("bench_pipeline_v2", [sys.executable, "bench_pipeline.py"], 3600),
     ("exp_raybatch2", [sys.executable, "scripts/exp_raybatch2.py"], 1800),
     # in-step gate for the isolated 25% split win (exp_gather_pallas):
-    # same bench, NERF_VO_GATHER_SPLITS=16
+    # adjacent-window baseline first, then same bench with
+    # NERF_VO_GATHER_SPLITS=16
+    ("bench_base_r5", [sys.executable, "bench.py"], 1800),
     ("bench_splits16",
      [sys.executable, "-c",
       "import os; os.environ['NERF_VO_GATHER_SPLITS']='16'; "
@@ -45,6 +47,11 @@ QUEUE = [
      1800),
     # v3: packet path fully device-resident (no per-keyframe D2H stall)
     ("bench_pipeline_v3", [sys.executable, "bench_pipeline.py"], 3600),
+    # round 5: DPVO FPS with the member-table (gather-route) SoftAgg —
+    # exp_vo_cut_r4 attributed +4.2 ms to the scatter route
+    ("bench_tracking_r5", [sys.executable, "bench_tracking.py"], 1800),
+    ("exp_vo_cut_r5", [sys.executable, "scripts/exp_vo_cut.py"], 2400),
+    ("bench_r5", [sys.executable, "bench.py"], 1800),
 ]
 
 

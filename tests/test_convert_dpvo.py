@@ -233,6 +233,48 @@ def test_update_parity(nets, rng):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_update_member_table_route(nets, rng):
+    """The gather-route SoftAgg (host member tables) must match torch and
+    the scatter route bit-for-bit-ish on live lanes — it is the production
+    path in the tracker (mt_kk/mt_ij derived from nbr_tab)."""
+    tnet, model, params = nets
+    E = 12
+    net = rng.standard_normal((E, DIM)).astype(np.float32) * 0.5
+    imap = rng.standard_normal((E, DIM)).astype(np.float32) * 0.5
+    corr = rng.standard_normal((E, 882)).astype(np.float32)
+    kk = np.repeat(np.arange(4), 3).astype(np.int32)
+    jj = np.tile(np.arange(3), 4).astype(np.int32)
+    pair = jj.copy()
+    ix = np.where(jj > 0, np.arange(E) - 1, -1).astype(np.int32)
+    jx = np.where(jj < 2, np.arange(E) + 1, -1).astype(np.int32)
+    # member tables (one pad slot each to exercise the -1 masking)
+    mt_kk = np.full((4, 4), -1, np.int32)
+    mt_kk[:, :3] = np.arange(12).reshape(4, 3)
+    mt_ij = np.full((3, 5), -1, np.int32)
+    mt_ij[:, :4] = np.arange(12).reshape(4, 3).T
+
+    with torch.no_grad():
+        t_net, t_d, t_w = tnet.update(
+            torch.from_numpy(net), torch.from_numpy(imap),
+            torch.from_numpy(corr), torch.from_numpy(ix),
+            torch.from_numpy(jx), torch.from_numpy(kk),
+            torch.from_numpy(pair),
+        )
+    o_net, o_d, o_w = model.apply(
+        params, jnp.asarray(net), jnp.asarray(imap), jnp.asarray(corr),
+        jnp.asarray(kk), jnp.asarray(pair), jnp.asarray(ix),
+        jnp.asarray(jx), jnp.ones((E,), bool), 4, 3, 0,
+        jnp.asarray(mt_kk), jnp.asarray(mt_ij),
+        method=model.update_step,
+    )
+    np.testing.assert_allclose(np.asarray(o_net), t_net.numpy(),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(o_d), t_d.numpy(),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(o_w), t_w.numpy(),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_dead_edges_cannot_pollute(nets, rng):
     """Padding edges routed to the trash groups must not change live
     edges' outputs (upstream has no padding; this pins our masking)."""
