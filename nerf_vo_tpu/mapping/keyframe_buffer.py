@@ -32,6 +32,7 @@ Differences from the reference, by design:
 
 from __future__ import annotations
 
+import os as _os
 from typing import Dict, Optional
 
 import flax.struct
@@ -39,6 +40,27 @@ import jax
 import jax.numpy as jnp
 
 from nerf_vo_tpu.core import cameras, conventions
+
+# NERF_VO_PIXEL_GATHER selects the ray-batch pixel-fetch formulation:
+#   "take"  — one [R, C]-index scalar take (R*C descriptors; measured
+#             ~167 ns/descriptor = ~4.8 ms at 4096 rays,
+#             tpu_runs/exp_raybatch2.log)
+#   "slice" — vmap(dynamic_slice (C,)): each pixel's C channels are
+#             contiguous, so this is ONE gather of R descriptors x C
+#             elements — 7x fewer descriptors (exp_raybatch2 d10 arm).
+# Same elements either way; flip the default on the in-step gate.
+_PIXEL_GATHER = _os.environ.get("NERF_VO_PIXEL_GATHER", "take")
+
+# NERF_VO_PIXEL_DTYPE=bfloat16 stores the packed pixel buffer (training
+# TARGETS: color/depth/normal/cov) at half the bytes. The 28K-descriptor
+# ray-batch pixel gather measured ~167 ns/descriptor from the 1.24 GB f32
+# buffer (tpu_runs/exp_raybatch2.log); if the d8 arm shows it is
+# operand-byte-bound, bf16 buys ~2x on that ~4.8 ms. Default stays f32
+# until BOTH the d8 speed arm and a paired-seed quality gate pass
+# (bf16 depth targets carry ~0.4% relative error).
+_PIXEL_DTYPE = jnp.dtype(
+    _os.environ.get("NERF_VO_PIXEL_DTYPE", "float32")
+)
 
 # packed per-pixel channel layout (within each pixel's C-element block):
 #   0:3  color rgb
@@ -80,7 +102,9 @@ class KeyframeBuffer:
 
     def _frames(self):
         K = self.capacity
-        return self.pixels.reshape(K, self.height, self.width, self.channels)
+        return self.pixels.reshape(
+            K, self.height, self.width, self.channels
+        ).astype(jnp.float32)
 
     @property
     def color(self) -> jnp.ndarray:  # [K, H, W, 3]
@@ -107,7 +131,7 @@ def create(num_keyframes: int, height: int, width: int,
            use_normals: bool = True, use_depth_cov: bool = False) -> KeyframeBuffer:
     K, H, W = num_keyframes, height, width
     C = 4 + (3 if use_normals else 0) + (1 if use_depth_cov else 0)
-    pixels = jnp.zeros((K, H * W * C), jnp.float32)
+    pixels = jnp.zeros((K, H * W * C), _PIXEL_DTYPE)
     if use_depth_cov:  # cov channel defaults to 1 (unweighted)
         pixels = pixels.reshape(K, H * W, C).at[:, :, C - 1].set(1.0).reshape(
             K, H * W * C
@@ -168,7 +192,9 @@ def _insert_impl(buffer: KeyframeBuffer, indices, packet: Dict[str, jnp.ndarray]
     return buffer.replace(
         intrinsics=buffer.intrinsics.at[indices].set(packet["intrinsics"]),
         c2w=buffer.c2w.at[indices].set(c2w),
-        pixels=buffer.pixels.at[indices].set(rows),
+        pixels=buffer.pixels.at[indices].set(
+            rows.astype(buffer.pixels.dtype)
+        ),
         num_active=jnp.maximum(buffer.num_active, jnp.max(indices) + 1),
         normalization=norm,
     )
@@ -228,11 +254,18 @@ def sample_ray_batch(buffer: KeyframeBuffer, pose_deltas, key, num_rays: int,
 
     # one flat take covers every per-pixel channel
     base = ((frame * H + py) * W + px) * C
-    px_data = jnp.take(
-        buffer.pixels.reshape(-1),
-        base[:, None] + jnp.arange(C, dtype=jnp.int32)[None, :],
-        axis=0,
-    )  # [R, C]
+    if _PIXEL_GATHER == "slice":
+        flat = buffer.pixels.reshape(-1)
+        px_data = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(flat, (s,), (C,))
+        )(base)
+    else:
+        px_data = jnp.take(
+            buffer.pixels.reshape(-1),
+            base[:, None] + jnp.arange(C, dtype=jnp.int32)[None, :],
+            axis=0,
+        )
+    px_data = px_data.astype(jnp.float32)  # gather in buffer dtype, use f32
     rgb = px_data[:, 0:3]
     depth_z = px_data[:, 3]
     depth = depth_z * dirs_norm[..., 0]  # euclidean ray distance

@@ -111,17 +111,28 @@ def main():
          {"num_proposal_samples": (128, 64)}),
         ("32 nerf / 96+48", {"num_nerf_samples": 32}),
         ("24 nerf / 96+48", {"num_nerf_samples": 24}),
+        # bf16 pixel buffer (NERF_VO_PIXEL_DTYPE): trains on bf16-rounded
+        # targets, evals against the same f32 held-out rays as every other
+        # arm — the quality half of the d8 flip decision (exp_raybatch2)
+        ("PROD + bf16 pixel buffer", {"__bf16_pixels__": True}),
     ]
+    if "--bf16-only" in sys.argv:  # cheap on-chip gate: PROD vs bf16 pixels
+        arms = [arms[0], arms[-1]]
     if smoke:
         for _, over in arms:
             over.setdefault("log2_hashmap_size", 14)
             over.setdefault("proposal_distill_points", 256)
 
+    buf_bf16 = buf.replace(pixels=buf.pixels.astype(jnp.bfloat16))
     results = {}  # label -> list of (psnr, med, dt)
     for label, over in arms:
+        over = dict(over)
+        arm_buf = buf_bf16 if over.pop("__bf16_pixels__", False) else buf
         rows = []
         for r in range(repeats):
-            p, d, t = fit_and_eval(buf, K, steps, rays, r, eval_rays, **over)
+            p, d, t = fit_and_eval(
+                arm_buf, K, steps, rays, r, eval_rays, **over
+            )
             rows.append((p, d, t))
             print(f"  {label:30s} seed{r}: psnr={p:6.2f}  med|dz|/z={d:6.3f}"
                   f"  {t*1e3:6.1f} ms/step", flush=True)

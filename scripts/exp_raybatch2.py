@@ -225,6 +225,37 @@ def main():
     dt = bench(f, pix_bf16)
     print(f"d8. pixel take, bf16 operand:      {dt*1e3:7.3f} ms", flush=True)
 
+    # d10. SLICE-SIZED gather: each pixel's C channels are CONTIGUOUS in
+    # the packed layout, so vmap(dynamic_slice (C,)) lowers to ONE gather
+    # of R descriptors x C elements — 7x fewer descriptors than the [R, C]
+    # scalar take. If the 167 ns is per-descriptor (d/d2/d3 all say so),
+    # this is ~0.7 ms.
+    def pixel_take_slice(b):
+        base = ((frame * H + py) * W + px) * C
+        flat = b.pixels.reshape(-1)
+        return jax.vmap(
+            lambda s: jax.lax.dynamic_slice(flat, (s,), (C,))
+        )(base)
+
+    f = jax.jit(pixel_take_slice)
+    ref = jax.jit(pixel_take)(buf)
+    got = f(buf)
+    assert jnp.allclose(got, ref), "slice-gather mismatch"
+    dt = bench(f, buf)
+    print(f"d10. pixel take slice-size C:      {dt*1e3:7.3f} ms", flush=True)
+
+    # d11. same, bf16 operand (stacks with d8 if both win)
+    def pixel_take_slice_bf16(p):
+        base = ((frame * H + py) * W + px) * C
+        flat = p.reshape(-1)
+        return jax.vmap(
+            lambda s: jax.lax.dynamic_slice(flat, (s,), (C,))
+        )(base)
+
+    f = jax.jit(pixel_take_slice_bf16)
+    dt = bench(f, pix_bf16)
+    print(f"d11. slice-size C, bf16 operand:   {dt*1e3:7.3f} ms", flush=True)
+
     # d9. SORTED indices: if the gather is DRAM-page-locality-bound,
     # sorting the 28K flat indices (then unsorting the result) converts
     # random walks into ~sequential page visits. Sort costs ~26 ns/desc

@@ -80,6 +80,43 @@ def test_sample_ray_batch(rng):
     assert np.isfinite(np.asarray(batch["rgb"])).all()
 
 
+def test_bf16_pixel_buffer(rng, monkeypatch):
+    """NERF_VO_PIXEL_DTYPE=bfloat16 stores targets at half the bytes; the
+    sampler and frame views must still hand out f32 within bf16 tolerance."""
+    monkeypatch.setattr(kb, "_PIXEL_DTYPE", jnp.dtype(jnp.bfloat16))
+    buf = kb.create(K, H, W)
+    assert buf.pixels.dtype == jnp.bfloat16
+    pkt = _packet(4, rng)
+    buf = kb.insert(buf, jnp.arange(4), pkt)
+    assert buf.color.dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(buf.color[:4]), np.asarray(pkt["color"]),
+        rtol=1e-2, atol=1e-2,
+    )
+    batch = kb.sample_ray_batch(buf, None, jax.random.PRNGKey(0), 64)
+    assert batch["rgb"].dtype == jnp.float32
+    assert batch["depth"].dtype == jnp.float32
+    # z-depth 2.0 is exactly representable in bf16; euclidean >= z
+    assert np.all(np.asarray(batch["depth"]) >= 2.0 - 1e-5)
+    assert np.isfinite(np.asarray(batch["rgb"])).all()
+    assert np.all(np.asarray(batch["depth_mask"]))
+
+
+def test_pixel_gather_slice_route_matches(rng, monkeypatch):
+    """NERF_VO_PIXEL_GATHER=slice must fetch exactly the same pixels as the
+    scalar-take route (contiguous C-channel blocks, 7x fewer descriptors)."""
+    buf = kb.create(K, H, W)
+    buf = kb.insert(buf, jnp.arange(4), _packet(4, rng))
+    key = jax.random.PRNGKey(3)
+    b_take = kb.sample_ray_batch(buf, None, key, 128)
+    monkeypatch.setattr(kb, "_PIXEL_GATHER", "slice")
+    b_slice = kb.sample_ray_batch(buf, None, key, 128)
+    for k in ("rgb", "depth", "normal", "origins"):
+        np.testing.assert_array_equal(
+            np.asarray(b_take[k]), np.asarray(b_slice[k])
+        )
+
+
 def test_sample_with_pose_deltas(rng):
     buf = kb.create(K, H, W)
     buf = kb.insert(buf, jnp.arange(2), _packet(2, rng))
