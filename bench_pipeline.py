@@ -13,6 +13,9 @@ and reports, from ONE shared wall clock per arm:
   arm "full spf=1"  same with 1 mapping step/frame (the pacing knob)
   arm "no-dpt spf=4"  tracking + mapping only (enhancement cost isolated
                     by difference against the full arm)
+  arm "full spf=4 kf/5"  only every 5th retired keyframe is enhanced +
+                    inserted — the REALISTIC keyframe rate (random weights
+                    retire ~1:1; real checkpoints ~1/5)
 
 Each arm prints pipeline_tracking_fps (frames tracked per second WHILE
 everything else shares the chip — the number the >=20 FPS target is about)
@@ -85,7 +88,7 @@ class SyntheticFrames:
 
 
 def run_arm(label: str, src, steps_per_frame: int, enhancement: str,
-            warmup: int, frames: int):
+            warmup: int, frames: int, kf_stride: int = 1):
     import jax
 
     from nerf_vo_tpu.runtime.stages import (
@@ -104,7 +107,7 @@ def run_arm(label: str, src, steps_per_frame: int, enhancement: str,
     print(f"# [{label}] stages built in {time.perf_counter() - t0:.1f}s",
           flush=True)
 
-    stats = {"frames": 0, "kf": 0, "map_steps": 0}
+    stats = {"frames": 0, "kf": 0, "map_steps": 0, "retired": 0}
 
     def run_span(i0: int, i1: int, collect: bool):
         dev = jax.device_put(src.frame(i0))
@@ -116,6 +119,12 @@ def run_arm(label: str, src, steps_per_frame: int, enhancement: str,
             }
             dev = jax.device_put(src.frame(i + 1))  # prefetch next H2D
             packet = tracking.step(frame)
+            if packet is not None and packet["camera_extrinsics"].shape[0]:
+                # kf_stride > 1 models a real checkpoint's keyframe rate
+                # (~1/5 frames retire); random weights retire ~every frame
+                stats["retired"] += 1
+                if (stats["retired"] - 1) % kf_stride:
+                    packet = None
             if packet is not None and packet["camera_extrinsics"].shape[0]:
                 mapping.update(enhance.step(packet))
                 if collect:
@@ -195,6 +204,11 @@ def main():
     run_arm("full spf=1", src, 1, "depth", args_cli.warmup, args_cli.frames)
     run_arm("no-dpt spf=4", src, 4, "none", args_cli.warmup,
             args_cli.frames)
+    # realistic keyframe rate: real checkpoints retire ~1/5 frames, so
+    # enhancement + buffer inserts amortize 5x (mapping steps still pace
+    # per frame) — the non-worst-case §7.3(4) answer
+    run_arm("full spf=4 kf/5", src, 4, "depth", args_cli.warmup,
+            args_cli.frames, kf_stride=5)
 
 
 if __name__ == "__main__":

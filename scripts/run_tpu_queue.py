@@ -50,16 +50,21 @@ QUEUE = [
     # round 5: DPVO FPS with the member-table (gather-route) SoftAgg —
     # exp_vo_cut_r4 attributed +4.2 ms to the scatter route
     ("bench_tracking_r5", [sys.executable, "bench_tracking.py"], 1800),
-    ("exp_vo_cut_r5", [sys.executable, "scripts/exp_vo_cut.py"], 2400),
     # in-step gate for the slice-sized pixel gather (exp_raybatch2 d10)
     ("bench_pixslice",
      [sys.executable, "-c",
       "import os; os.environ['NERF_VO_PIXEL_GATHER']='slice'; "
       "import runpy; runpy.run_path('bench.py', run_name='__main__')"],
      1800),
-    # quality half of the bf16-pixel flip (speed half: exp_raybatch2 d8/d11)
+    ("exp_vo_cut_r5", [sys.executable, "scripts/exp_vo_cut.py"], 2400),
+    # quality half of the bf16-pixel flip (speed half: exp_raybatch2 d8
+    # measured 1.65x on 2026-08-21; d10 slice-gather lost 2.2x isolated,
+    # so bench_pixslice is moot unless re-opened with a new idea)
     ("exp_gate_bf16",
      [sys.executable, "scripts/exp_gate_samples.py", "--bf16-only"], 3600),
+    # v4 adds the realistic-keyframe-rate arm (kf/5) + this round's
+    # tracker/sampler changes
+    ("bench_pipeline_v4", [sys.executable, "bench_pipeline.py"], 3600),
     ("bench_r5", [sys.executable, "bench.py"], 1800),
 ]
 
