@@ -58,9 +58,13 @@ _PIXEL_GATHER = _os.environ.get("NERF_VO_PIXEL_GATHER", "take")
 # operand-byte-bound, bf16 buys ~2x on that ~4.8 ms. Default stays f32
 # until BOTH the d8 speed arm and a paired-seed quality gate pass
 # (bf16 depth targets carry ~0.4% relative error).
-_PIXEL_DTYPE = jnp.dtype(
-    _os.environ.get("NERF_VO_PIXEL_DTYPE", "float32")
-)
+_PIXEL_DTYPE_NAME = _os.environ.get("NERF_VO_PIXEL_DTYPE", "float32")
+if _PIXEL_DTYPE_NAME not in ("float32", "bfloat16"):
+    raise ValueError(
+        "NERF_VO_PIXEL_DTYPE must be 'float32' or 'bfloat16', got "
+        f"{_PIXEL_DTYPE_NAME!r}"
+    )
+_PIXEL_DTYPE = jnp.dtype(_PIXEL_DTYPE_NAME)
 
 # packed per-pixel channel layout (within each pixel's C-element block):
 #   0:3  color rgb

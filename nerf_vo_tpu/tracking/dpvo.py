@@ -26,6 +26,7 @@ Behavioral parity targets (reference nerf_vo/tracking/dpvo.py):
 from __future__ import annotations
 
 import dataclasses
+import os as _os
 from typing import Any, Dict, List, Optional
 
 import jax
@@ -36,6 +37,26 @@ from nerf_vo_tpu.core import lie
 from nerf_vo_tpu.models.dpvo_net import DPVONet, extract_patches
 from nerf_vo_tpu.ops import ba
 from nerf_vo_tpu.ops.correlation import patch_correlation
+
+# NERF_VO_SOFTAGG_ROUTE selects the update net's SoftAgg formulation:
+#   "scatter" — upstream-style segment scatters (models/dpvo_net.py),
+#   "gather"  — member-table route reusing nbr_tab (zero extra scatters).
+# The gather route was flipped to default in round 4 WITHOUT its in-step
+# gate; both post-flip tracking benches read 21.41 FPS vs 24.13 pre-flip
+# (tpu_runs/bench_tracking_r4.log vs bench_tracking_r5.log), so the
+# default REVERTS to the measured winner per the flip-only-on-gate rule
+# (TPU_QUEUE.md). Re-flip only on a same-session A/B win
+# (scripts/exp_softagg_ab.py).
+_SOFTAGG_ROUTE = _os.environ.get("NERF_VO_SOFTAGG_ROUTE", "scatter")
+if _SOFTAGG_ROUTE not in ("scatter", "gather"):
+    raise ValueError(
+        "NERF_VO_SOFTAGG_ROUTE must be 'scatter' or 'gather', got "
+        f"{_SOFTAGG_ROUTE!r}"
+    )
+
+# NERF_VO_DEBUG_CHECKS=1 turns on host-side invariant assertions in the
+# tracker's per-frame path (slow; test/debug only).
+_DEBUG_CHECKS = _os.environ.get("NERF_VO_DEBUG_CHECKS", "0") == "1"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -376,10 +397,20 @@ class DPVOTracker:
         # reshape lists each patch's edges [KL, R], and a transpose lists
         # each (host-window-pos, target)-pair's edges over patches
         # [LIFE*R, P] — the exact pair_g grouping. Zero extra scatters.
-        mt_kk = nbr_tab[: KL * R].reshape(KL, R)
-        mt_ij = (
-            mt_kk.reshape(LIFE, P, R).transpose(0, 2, 1).reshape(LIFE * R, P)
-        )
+        # INVARIANT this route leans on: (kk, jj mod R) must be unique per
+        # live edge (live targets span < ring_size frames). On the scatter
+        # route a collision only corrupts one edge's ix/jx neighbor input;
+        # here it silently drops an edge from BOTH group sums. The host
+        # asserts uniqueness under NERF_VO_DEBUG_CHECKS=1 (_check_edge
+        # _slot_uniqueness) so a bad window/ring configuration fails loudly.
+        if _SOFTAGG_ROUTE == "gather":
+            mt_kk = nbr_tab[: KL * R].reshape(KL, R)
+            mt_ij = (
+                mt_kk.reshape(LIFE, P, R).transpose(0, 2, 1)
+                .reshape(LIFE * R, P)
+            )
+        else:
+            mt_kk = mt_ij = None
 
         im_e = imap[jnp.clip(e_host_ring, 0, R - 1), kk % P].astype(jnp.float32)
         # profile_cut 11-14: stop INSIDE the update net (corr MLP /
@@ -489,6 +520,26 @@ class DPVOTracker:
         P = self.cfg.patches_per_frame
         dead = (self.e_jj_g == gid) | (self.e_patch_g // P == gid)
         self._kill_edges(dead)
+
+    def _check_edge_slot_uniqueness(self, live, base, e_jj_c) -> None:
+        """Debug invariant (NERF_VO_DEBUG_CHECKS=1): every live edge owns a
+        distinct nbr_tab slot kk*R + jj%R — i.e. live targets of one patch
+        span fewer than ring_size frames. The gather-route SoftAgg reads
+        its member tables straight out of nbr_tab, so a collision silently
+        drops an edge from both aggregation group sums; fail loudly here
+        instead (ADVICE r4)."""
+        R = self.cfg.ring_size
+        P = self.cfg.patches_per_frame
+        kk_local = base + (self.e_patch_g % P)
+        slots = kk_local[live] * R + (e_jj_c[live] % R)
+        uniq = np.unique(slots)
+        if uniq.size != slots.size:
+            raise AssertionError(
+                f"nbr_tab slot collision: {slots.size} live edges map to "
+                f"{uniq.size} distinct (kk, jj%R) slots — live targets of "
+                f"some patch span >= ring_size={R} frames; raise ring_size "
+                "above removal_window + margin"
+            )
 
     def _kill_edges(self, mask: np.ndarray) -> None:
         idx = np.nonzero(mask & self.e_valid)[0]
@@ -683,6 +734,8 @@ class DPVOTracker:
             self.e_valid & (self.e_patch_g >= 0) & (self.e_jj_g >= 0)
             & (base >= 0) & (ring_j >= 0) & (ring_i >= 0)
         )
+        if _DEBUG_CHECKS:
+            self._check_edge_slot_uniqueness(live, base, e_jj_c)
 
         # BA window: last optimization_window alive frames free, except the
         # global gauge anchors (first two frames)

@@ -110,10 +110,15 @@ def main() -> int:
         log = os.path.join(LOGDIR, f"{name}.log")
         print(f"[queue] running {name} (timeout {timeout}s) -> {log}")
         t0 = time.time()
+        # the queue's own probe loop spaces retries — don't let bench.py
+        # additionally sit in its 45-min outage-retry window (it would hit
+        # the item timeout instead of returning a retryable rc=3)
+        child_env = dict(os.environ, NERF_VO_BENCH_RETRY_S="0")
         try:
             with open(log, "w") as f:
                 r = subprocess.run(cmd, cwd=REPO, timeout=timeout,
-                                   stdout=f, stderr=subprocess.STDOUT)
+                                   stdout=f, stderr=subprocess.STDOUT,
+                                   env=child_env)
             rc = r.returncode
         except subprocess.TimeoutExpired:
             rc = -9

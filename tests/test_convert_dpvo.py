@@ -310,3 +310,52 @@ def test_dead_edges_cannot_pollute(nets, rng):
     for a, b in zip(out_full, out_masked):
         np.testing.assert_allclose(np.asarray(a)[:4], np.asarray(b)[:4],
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_dead_edges_cannot_pollute_member_table(nets, rng):
+    """Member-table variant of the pollution test (ADVICE r4): on the
+    gather route, dead-edge exclusion depends on the tracker OMITTING dead
+    slots from mt_kk/mt_ij (nbr_idx routes them to the trash row), not on
+    the trash group. Build tables that list only the live edges and assert
+    live lanes match a live-only scatter-route reference."""
+    tnet, model, params = nets
+    E = 6
+    net = rng.standard_normal((E, DIM)).astype(np.float32) * 0.5
+    imap = rng.standard_normal((E, DIM)).astype(np.float32) * 0.5
+    corr = rng.standard_normal((E, 882)).astype(np.float32)
+    kk = np.asarray([0, 0, 1, 1, 2, 2], np.int32)
+    pair = np.asarray([0, 1, 0, 1, 2, 2], np.int32)
+    ix = np.full(E, -1, np.int32)
+    jx = np.full(E, -1, np.int32)
+
+    # scatter-route reference with edges 4/5 dead (pinned correct by
+    # test_dead_edges_cannot_pollute)
+    kk2 = kk.copy(); kk2[4:] = 4
+    pair2 = pair.copy(); pair2[4:] = 4
+    live2 = np.asarray([True] * 4 + [False] * 2)
+    out_ref = model.apply(
+        params, jnp.asarray(net), jnp.asarray(imap), jnp.asarray(corr),
+        jnp.asarray(kk2), jnp.asarray(pair2), jnp.asarray(ix),
+        jnp.asarray(jx), jnp.asarray(live2), 4, 4,
+        method=model.update_step,
+    )
+
+    # member tables that OMIT the dead edges (exactly what nbr_idx-based
+    # construction produces: dead edges scatter to the trash row, which is
+    # sliced off): group 2 lists no members at all.
+    mt_kk = np.full((4, 3), -1, np.int32)
+    mt_kk[0, :2] = [0, 1]
+    mt_kk[1, :2] = [2, 3]
+    mt_ij = np.full((4, 3), -1, np.int32)
+    mt_ij[0, :2] = [0, 2]
+    mt_ij[1, :2] = [1, 3]
+    out_mt = model.apply(
+        params, jnp.asarray(net), jnp.asarray(imap), jnp.asarray(corr),
+        jnp.asarray(kk2), jnp.asarray(pair2), jnp.asarray(ix),
+        jnp.asarray(jx), jnp.asarray(live2), 4, 4, 0,
+        jnp.asarray(mt_kk), jnp.asarray(mt_ij),
+        method=model.update_step,
+    )
+    for a, b in zip(out_ref, out_mt):
+        np.testing.assert_allclose(np.asarray(a)[:4], np.asarray(b)[:4],
+                                   rtol=1e-5, atol=1e-5)
