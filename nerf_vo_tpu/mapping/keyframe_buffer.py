@@ -209,33 +209,60 @@ def _insert_impl(buffer: KeyframeBuffer, indices, packet: Dict[str, jnp.ndarray]
 insert = jax.jit(_insert_impl, donate_argnums=(0,))
 
 
-def sample_ray_batch(buffer: KeyframeBuffer, pose_deltas, key, num_rays: int,
-                     convention: str = "opengl") -> Dict[str, jnp.ndarray]:
-    """Sample a training ray batch over the active keyframes (in-jit).
+def sample_pixel_batch(buffer: KeyframeBuffer, key, num_rays: int
+                       ) -> Dict[str, jnp.ndarray]:
+    """Trainable-independent half of ray-batch sampling: rng pixel picks +
+    the ONE expensive flat pixel gather (4.7 ms at production shapes,
+    tpu_runs/exp_raybatch2.log d).
 
-    Equivalent of nerfstudio's PixelSampler + RayGenerator with the
-    CameraOptimizer's SE3 deltas composed in
-    (reference nerfstudio_utils.py:295-300 + nerfstudio CameraOptimizer
-    [upstream]). TWO gather ops total (see the module docstring).
+    Split out so the trainer can PREFETCH the next step's pixel batch
+    inside the current step's program (double-buffered in TrainState,
+    VERDICT r4 item 3): this half has no dependency on params/pose_deltas,
+    so its gather can overlap the MXU-bound loss/grad work, while the
+    pose-dependent half (:func:`rays_from_pixel_batch`) stays in-step to
+    keep camera-opt gradients exact.
 
-    Args:
-      pose_deltas: [K, 6] SE3 tangent corrections (the trainable camera-opt
-        parameters), or None.
-
-    Returns batch dict for NerfactoModel.loss: origins, directions, rgb,
-    depth (euclidean), depth_cov, normal (world frame), camera_indices,
-    depth_mask / normal_mask.
+    Returns {"frame", "py", "px", "px_data"} — px_data [R, C] f32.
     """
-    from nerf_vo_tpu.core import lie  # local import to avoid cycles
-
     H, W = buffer.hw
     C = buffer.channels
-    K = buffer.capacity
     k1, k2, k3 = jax.random.split(key, 3)
     n_active = jnp.maximum(buffer.num_active, 1)
     frame = jax.random.randint(k1, (num_rays,), 0, n_active)
     py = jax.random.randint(k2, (num_rays,), 0, H)
     px = jax.random.randint(k3, (num_rays,), 0, W)
+
+    # one flat take covers every per-pixel channel
+    base = ((frame * H + py) * W + px) * C
+    if _PIXEL_GATHER == "slice":
+        flat = buffer.pixels.reshape(-1)
+        px_data = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(flat, (s,), (C,))
+        )(base)
+    else:
+        px_data = jnp.take(
+            buffer.pixels.reshape(-1),
+            base[:, None] + jnp.arange(C, dtype=jnp.int32)[None, :],
+            axis=0,
+        )
+    px_data = px_data.astype(jnp.float32)  # gather in buffer dtype, use f32
+    return {"frame": frame, "py": py, "px": px, "px_data": px_data}
+
+
+def rays_from_pixel_batch(buffer: KeyframeBuffer, pose_deltas,
+                          pixel_batch: Dict[str, jnp.ndarray],
+                          convention: str = "opengl"
+                          ) -> Dict[str, jnp.ndarray]:
+    """Pose-dependent half of ray-batch sampling: compose the camera-opt
+    SE3 deltas, row-take poses+intrinsics, generate rays, unpack the
+    per-pixel channels. Cheap (~0.8 ms, exp_raybatch2 c) and
+    differentiable w.r.t. ``pose_deltas``."""
+    from nerf_vo_tpu.core import lie  # local import to avoid cycles
+
+    K = buffer.capacity
+    C = buffer.channels
+    frame = pixel_batch["frame"]
+    num_rays = frame.shape[0]
 
     # the camera-opt SE3 chain runs per KEYFRAME (K rows), not per ray —
     # gather-of-composed == compose-of-gathered, and K << num_rays; one
@@ -253,23 +280,12 @@ def sample_ray_batch(buffer: KeyframeBuffer, pose_deltas, key, num_rays: int,
     )
     c2w = fr[:, :16].reshape(num_rays, 4, 4)
     intr = fr[:, 16:20]
-    xy = jnp.stack([px, py], axis=-1).astype(jnp.float32) + 0.5
+    xy = jnp.stack(
+        [pixel_batch["px"], pixel_batch["py"]], axis=-1
+    ).astype(jnp.float32) + 0.5
     origins, dirs, dirs_norm = cameras.generate_rays(c2w, intr, xy, convention)
 
-    # one flat take covers every per-pixel channel
-    base = ((frame * H + py) * W + px) * C
-    if _PIXEL_GATHER == "slice":
-        flat = buffer.pixels.reshape(-1)
-        px_data = jax.vmap(
-            lambda s: jax.lax.dynamic_slice(flat, (s,), (C,))
-        )(base)
-    else:
-        px_data = jnp.take(
-            buffer.pixels.reshape(-1),
-            base[:, None] + jnp.arange(C, dtype=jnp.int32)[None, :],
-            axis=0,
-        )
-    px_data = px_data.astype(jnp.float32)  # gather in buffer dtype, use f32
+    px_data = pixel_batch["px_data"]
     rgb = px_data[:, 0:3]
     depth_z = px_data[:, 3]
     depth = depth_z * dirs_norm[..., 0]  # euclidean ray distance
@@ -293,3 +309,26 @@ def sample_ray_batch(buffer: KeyframeBuffer, pose_deltas, key, num_rays: int,
     if buffer.use_depth_cov:
         batch["depth_cov"] = px_data[:, C - 1]
     return batch
+
+
+def sample_ray_batch(buffer: KeyframeBuffer, pose_deltas, key, num_rays: int,
+                     convention: str = "opengl") -> Dict[str, jnp.ndarray]:
+    """Sample a training ray batch over the active keyframes (in-jit).
+
+    Equivalent of nerfstudio's PixelSampler + RayGenerator with the
+    CameraOptimizer's SE3 deltas composed in
+    (reference nerfstudio_utils.py:295-300 + nerfstudio CameraOptimizer
+    [upstream]). TWO gather ops total (see the module docstring).
+    Composition of :func:`sample_pixel_batch` (expensive, pose-free) and
+    :func:`rays_from_pixel_batch` (cheap, pose-dependent).
+
+    Args:
+      pose_deltas: [K, 6] SE3 tangent corrections (the trainable camera-opt
+        parameters), or None.
+
+    Returns batch dict for NerfactoModel.loss: origins, directions, rgb,
+    depth (euclidean), depth_cov, normal (world frame), camera_indices,
+    depth_mask / normal_mask.
+    """
+    pb = sample_pixel_batch(buffer, key, num_rays)
+    return rays_from_pixel_batch(buffer, pose_deltas, pb, convention)

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os as _os
 from typing import Any, Dict, Optional, Tuple
 
 import flax.struct
@@ -25,6 +26,19 @@ import optax
 
 from nerf_vo_tpu.mapping import keyframe_buffer as kb
 from nerf_vo_tpu.models.nerfacto import NerfactoConfig, NerfactoModel
+
+# NERF_VO_PREFETCH_BATCH=1 double-buffers the ray-batch PIXEL gather in
+# TrainState: step t trains on the pixel batch sampled during step t-1 and
+# samples step t+1's batch in the same program. The 4.7 ms pixel gather
+# then has NO consumer inside its own step, freeing XLA to overlap its DMA
+# with the proposal/field matmuls (exp_floor_r4: removing the sampler cuts
+# the step 26.61 -> 20.53 ms, so today there is zero overlap). Ray
+# generation stays in-step on the CURRENT pose_deltas, so camera-opt
+# gradients are exact; only the pixel TARGETS are one step stale (the
+# reference's host-side PixelSampler has the same property across its
+# process pipeline, nerfstudio_utils.py:295-300). Default off until the
+# in-step gate (scripts/exp_prefetch.py) lands a win.
+_PREFETCH_BATCH = _os.environ.get("NERF_VO_PREFETCH_BATCH", "0") == "1"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -36,6 +50,7 @@ class TrainerConfig:
     max_iterations: int = 8192  # mapping_iterations (configs/*.yaml)
     optimize_extrinsics: bool = True
     eps: float = 1e-15
+    prefetch_batch: bool = _PREFETCH_BATCH
 
 
 @flax.struct.dataclass
@@ -46,6 +61,7 @@ class TrainState:
     cam_opt_state: Any
     step: jnp.ndarray  # [] int32
     occ_grid: Any = None  # [res^3] f32 when sampler == "occupancy"
+    prefetch: Any = None  # next step's pixel batch (prefetch_batch mode)
 
 
 class MappingTrainer:
@@ -120,12 +136,15 @@ class MappingTrainer:
     # ------------------------------------------------------------------
 
     def _loss_fn(self, params, pose_deltas, buffer, key, step=None,
-                 occ_grid=None):
+                 occ_grid=None, pixel_batch=None):
         k_sample, k_render = jax.random.split(key)
         deltas = pose_deltas if self.config.optimize_extrinsics else None
-        batch = kb.sample_ray_batch(
-            buffer, deltas, k_sample, self.config.rays_per_batch
-        )
+        if pixel_batch is not None:
+            batch = kb.rays_from_pixel_batch(buffer, deltas, pixel_batch)
+        else:
+            batch = kb.sample_ray_batch(
+                buffer, deltas, k_sample, self.config.rays_per_batch
+            )
         return self.model.loss(
             params, batch, k_render, step=step, occ_grid=occ_grid
         )
@@ -137,7 +156,19 @@ class MappingTrainer:
                 params, pose_deltas, buffer, key, step=state.step,
                 occ_grid=jax.lax.stop_gradient(state.occ_grid)
                 if state.occ_grid is not None else None,
+                pixel_batch=state.prefetch,
             )
+
+        # next step's pixel batch: no consumer in this step's loss/grad
+        # chain, so its gather DMA is free to overlap the matmuls below
+        # (this is the point of the double-buffering — see _PREFETCH_BATCH)
+        prefetch = (
+            kb.sample_pixel_batch(
+                buffer, jax.random.fold_in(key, 2),
+                self.config.rays_per_batch,
+            )
+            if state.prefetch is not None else None
+        )
 
         (loss, metrics), grads = jax.value_and_grad(
             wrapped, argnums=(0, 1), has_aux=True
@@ -190,11 +221,20 @@ class MappingTrainer:
             cam_opt_state=cam_opt_state,
             step=state.step + 1,
             occ_grid=occ_grid,
+            prefetch=prefetch,
         )
         return new_state, metrics
 
     def train_step(self, state: TrainState, buffer: kb.KeyframeBuffer, key
                    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        if self.config.prefetch_batch and state.prefetch is None:
+            # first call: fill the double buffer outside the jitted step
+            # (one extra dispatch once; the pytree structure is then stable
+            # so the step compiles exactly once)
+            state = state.replace(prefetch=jax.jit(
+                kb.sample_pixel_batch, static_argnames=("num_rays",)
+            )(buffer, jax.random.fold_in(key, 3),
+              num_rays=self.config.rays_per_batch))
         return self._train_step(state, buffer, key)
 
     # ------------------------------------------------------------------

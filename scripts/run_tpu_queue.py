@@ -50,21 +50,25 @@ QUEUE = [
     # round 5: DPVO FPS with the member-table (gather-route) SoftAgg —
     # exp_vo_cut_r4 attributed +4.2 ms to the scatter route
     ("bench_tracking_r5", [sys.executable, "bench_tracking.py"], 1800),
-    # in-step gate for the slice-sized pixel gather (exp_raybatch2 d10)
-    ("bench_pixslice",
-     [sys.executable, "-c",
-      "import os; os.environ['NERF_VO_PIXEL_GATHER']='slice'; "
-      "import runpy; runpy.run_path('bench.py', run_name='__main__')"],
-     1800),
-    ("exp_vo_cut_r5", [sys.executable, "scripts/exp_vo_cut.py"], 2400),
+    # ---- round 5 (priority order; bench_pixslice DROPPED: exp_raybatch2
+    # d10 lost 2.2x isolated, adjudication rule unmet) ----
+    # in-step A/B for the double-buffered pixel-batch prefetch (VERDICT r4
+    # item 3 — the biggest untried single-chip lever, ~6 ms/step at stake)
+    ("exp_prefetch", [sys.executable, "scripts/exp_prefetch.py"], 4200),
     # quality half of the bf16-pixel flip (speed half: exp_raybatch2 d8
-    # measured 1.65x on 2026-08-21; d10 slice-gather lost 2.2x isolated,
-    # so bench_pixslice is moot unless re-opened with a new idea)
+    # measured 1.65x on 2026-08-21)
     ("exp_gate_bf16",
      [sys.executable, "scripts/exp_gate_samples.py", "--bf16-only"], 3600),
+    # same-session A-B-A adjudication of the SoftAgg route (VERDICT r4
+    # weak #2; default reverted to scatter pending this)
+    ("exp_softagg_ab", [sys.executable, "scripts/exp_softagg_ab.py"], 5400),
+    # DROID update-step bisect (VERDICT r4 weak #5)
+    ("exp_droid_cut", [sys.executable, "scripts/exp_droid_cut.py"], 3600),
     # v4 adds the realistic-keyframe-rate arm (kf/5) + this round's
     # tracker/sampler changes
     ("bench_pipeline_v4", [sys.executable, "bench_pipeline.py"], 3600),
+    ("exp_vo_cut_r5", [sys.executable, "scripts/exp_vo_cut.py"], 2400),
+    # final headline AFTER any default flips (re-run with --force)
     ("bench_r5", [sys.executable, "bench.py"], 1800),
 ]
 
