@@ -130,27 +130,49 @@ class DroidUpdate(nn.Module):
     corr_dim: int = 4 * 49  # 4 pyramid levels * (2*3+1)^2 lookups
 
     @nn.compact
-    def __call__(self, net, inp, corr, flow, ii, num_frames: int):
+    def __call__(self, net, inp, corr, flow, ii, num_frames: int,
+                 stop_after: int = 0):
         """
         Args:
           net: [E, h, w, 128] hidden per edge.
           inp: [E, h, w, 128] context of host frame.
           corr: [E, h, w, corr_dim]; flow: [E, h, w, 4] (flow + residual).
           ii: [E] host frame per edge.
+          stop_after: dev-only profiling cut (scripts/exp_droid_cut.py):
+            1 = corr/flow encoders, 2 = ConvGRU, 3 = delta/weight heads;
+            0/4 = full. Early returns carry zeroed heads with a data
+            dependency on the computed stages so they don't DCE.
         Returns: (net', delta [E,h,w,2], weight [E,h,w,2],
                   eta [num_frames,h,w], upmask [num_frames,h,w,576]).
         """
+        hw = net.shape[1:3]
+
+        def stubs(token):
+            z2 = jnp.zeros(net.shape[:3] + (2,)) + token
+            eta0 = jnp.zeros((num_frames,) + hw)
+            up0 = jnp.zeros((num_frames,) + hw + (576,))
+            return z2, eta0, up0
+
         c = nn.relu(nn.Conv(128, (1, 1), name="corr_enc0")(corr))
         c = nn.relu(nn.Conv(128, (3, 3), padding=1, name="corr_enc2")(c))
         f = nn.relu(nn.Conv(128, (7, 7), padding=3, name="flow_enc0")(flow))
         f = nn.relu(nn.Conv(64, (3, 3), padding=1, name="flow_enc2")(f))
+        if stop_after == 1:
+            z2, eta0, up0 = stubs(jnp.sum(c) * 0 + jnp.sum(f) * 0)
+            return net, z2, z2, eta0, up0
         # GRU input: cat(inp, corr_enc, flow_enc) = 128+128+64 = 320 ch
         net = ConvGRU(self.hidden, name="gru")(net, inp, c, f)
+        if stop_after == 2:
+            z2, eta0, up0 = stubs(jnp.sum(net) * 0)
+            return net, z2, z2, eta0, up0
 
         d = nn.relu(nn.Conv(128, (3, 3), padding=1, name="delta0")(net))
         delta = nn.Conv(2, (3, 3), padding=1, name="delta2")(d)
         w = nn.relu(nn.Conv(128, (3, 3), padding=1, name="weight0")(net))
         weight = nn.sigmoid(nn.Conv(2, (3, 3), padding=1, name="weight2")(w))
+        if stop_after == 3:
+            _, eta0, up0 = stubs(0.0)
+            return net, delta, weight, eta0, up0
 
         # frame-level agg head: conv BEFORE the per-host-frame mean (the
         # upstream GraphAgg order), then conv after
@@ -210,8 +232,9 @@ class DroidNet(nn.Module):
         net, inp = jnp.split(c, 2, axis=-1)
         return jnp.tanh(net), nn.relu(inp)
 
-    def update_step(self, net, inp, corr, flow, ii, num_frames):
-        return self.update(net, inp, corr, flow, ii, num_frames)
+    def update_step(self, net, inp, corr, flow, ii, num_frames,
+                    stop_after: int = 0):
+        return self.update(net, inp, corr, flow, ii, num_frames, stop_after)
 
     def __call__(self, images, net, inp, corr, flow, ii):
         f = self.encode_features(images)

@@ -240,7 +240,8 @@ class DROIDSLAMTracker:
 
     def _update_impl(self, params, poses, disps, intrinsics8, pyr, inps,
                      hidden, e_target, e_weight, ii, jj, e_new, e_live,
-                     slot_map, i_target, i_weight, i_ii, i_jj, i_valid):
+                     slot_map, i_target, i_weight, i_ii, i_jj, i_valid,
+                     profile_cut: int = 0):
         """One frontend/backend iteration over the padded edge set.
 
         The GRU runs on the LIVE edges only; the bundle adjustment also
@@ -248,13 +249,30 @@ class DROIDSLAMTracker:
         target/weight persist as fixed reprojection constraints — the
         reference's update(use_inactive=True) path (droid_slam.py:381-391),
         active on every frontend iteration there and here.
+
+        ``profile_cut`` (dev-only, scripts/exp_droid_cut.py): early-return
+        after 1 = reprojection, 2 = correlation lookup, 11-13 = inside the
+        update net (encoders / ConvGRU / heads), 3 = full update net,
+        4 = skip the BA solve; 0 = full step.
         """
         cfg = self.cfg
         E = ii.shape[0]
         h, w = self.h, self.w
+        B = disps.shape[0]
+
+        def cut(token):
+            # output-structure-preserving early return; `token` keeps the
+            # computed stages alive through DCE
+            return (poses + token * 0, disps, hidden, e_target, e_weight,
+                    jnp.zeros((B, h, w)), jnp.zeros((B, h, w, 576)),
+                    jnp.zeros((cfg.ba_iters,)), jnp.full((B, h, w), 1e9))
 
         coords, z = dense_ba.dense_reproject(poses, disps, intrinsics8, ii, jj)
+        if profile_cut == 1:
+            return cut(jnp.sum(coords) + jnp.sum(z))
         corr = corr_lookup(pyr, coords, radius=3)
+        if profile_cut == 2:
+            return cut(jnp.sum(corr))
 
         ys, xs = jnp.meshgrid(
             jnp.arange(h, dtype=jnp.float32),
@@ -273,10 +291,16 @@ class DROIDSLAMTracker:
         net = jnp.where(e_new[:, None, None, None], 0.0, hidden)
         inp = inps[ii].astype(jnp.float32)
 
+        net_stop = profile_cut - 10 if 11 <= profile_cut <= 13 else 0
         net, delta, weight, eta, upmask = self.net.apply(
-            params, net, inp, corr, flow, ii, disps.shape[0],
+            params, net, inp, corr, flow, ii, disps.shape[0], net_stop,
             method=self.net.update_step,
         )
+        if net_stop:
+            return cut(jnp.sum(net) + jnp.sum(delta))
+        if profile_cut == 3:
+            return cut(jnp.sum(net) + jnp.sum(delta) + jnp.sum(weight)
+                       + jnp.sum(eta) + jnp.sum(upmask))
         target = jax.lax.stop_gradient(coords) + delta
         weight = weight * e_live[:, None, None, None]
         e_weight = jnp.where(e_live[:, None, None, None], weight, e_weight)
@@ -297,6 +321,9 @@ class DROIDSLAMTracker:
             ii=ba_ii, jj=ba_jj,
             targets=ba_targets, weights=ba_weights, valid=ba_valid,
         )
+        if profile_cut == 4:  # everything except the BA solve
+            return cut(jnp.sum(ba_targets) + jnp.sum(ba_weights)
+                       + jnp.sum(eta) + jnp.sum(upmask))
         if self._sharded_ba is not None:
             poses, disps, costs, depth_cov = self._sharded_ba(
                 problem, slot_map, eta=eta
