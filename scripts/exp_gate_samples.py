@@ -84,8 +84,18 @@ def fit_and_eval(buf, K, steps, rays, seed, eval_rays, **over):
     rel = jnp.abs(out["depth"] - eval_rays["depth"]) / jnp.clip(
         eval_rays["depth"], 0.1
     )
-    med = float(jnp.median(rel))
-    return psnr, med, dt
+    # Depth metric: interquartile mean of the per-ray rel error over the
+    # valid-target rays. The plain median was statistically dead on this
+    # fixture (0.26-0.89 across seeds on the IDENTICAL config,
+    # tpu_runs/exp_gate_samples.log; VERDICT r4 weak #7): after short fits
+    # the rel-error distribution is bimodal (converged rays ~0.05,
+    # unconverged ~1), and the median jumps between modes when the
+    # converged mass crosses 50%. The IQM moves continuously with the
+    # mixing fraction, so paired per-seed deltas are usable again.
+    rel = np.sort(np.asarray(rel[np.asarray(eval_rays["depth_mask"])]))
+    lo, hi = int(0.25 * rel.size), max(int(0.75 * rel.size), 1)
+    depth_iqm = float(np.mean(rel[lo:hi]))
+    return psnr, depth_iqm, dt
 
 
 def main():
@@ -134,7 +144,7 @@ def main():
                 arm_buf, K, steps, rays, r, eval_rays, **over
             )
             rows.append((p, d, t))
-            print(f"  {label:30s} seed{r}: psnr={p:6.2f}  med|dz|/z={d:6.3f}"
+            print(f"  {label:30s} seed{r}: psnr={p:6.2f}  iqm|dz|/z={d:6.3f}"
                   f"  {t*1e3:6.1f} ms/step", flush=True)
         results[label] = rows
 
@@ -154,10 +164,14 @@ def main():
         t = float(np.median([r[2] for r in rows]))
         speedup = bt / t
         mean_dp, worst_dp = float(np.mean(dp)), float(min(dp))
-        mean_dd = float(np.mean(dd))
-        gate = mean_dp > -0.5 and worst_dp > -1.0 and mean_dd < 0.05
+        mean_dd, worst_dd = float(np.mean(dd)), float(max(dd))
+        # depth axis gates on the paired per-seed IQM deltas, mean AND
+        # worst seed, like the PSNR axis (VERDICT r4 item 6)
+        gate = (mean_dp > -0.5 and worst_dp > -1.0
+                and mean_dd < 0.05 and worst_dd < 0.10)
         print(f"{label:30s} dPSNR {mean_dp:+6.2f} "
-              f"[{min(dp):+6.2f},{max(dp):+6.2f}]  ddepth {mean_dd:+6.3f}  "
+              f"[{min(dp):+6.2f},{max(dp):+6.2f}]  "
+              f"ddepth {mean_dd:+6.3f} [{min(dd):+6.3f},{max(dd):+6.3f}]  "
               f"{speedup:5.2f}x  ({rays/t/1e3:7.1f}K rays/s)  "
               f"gate={'PASS' if gate else 'FAIL'}")
 

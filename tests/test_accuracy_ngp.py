@@ -12,10 +12,13 @@ bounded AABB avoids that failure. This gate pins it quantitatively: a
 GT-posed synthetic fit through the exact sampler/loss combination the
 nerf_slam configs run, with PSNR and depth thresholds.
 
-Calibration (1-core CPU, 2026-08-20): 160 steps x 256 rays with the
-32^3 occupancy grid below lands at 17.6 dB PSNR / 0.072 median relative
-depth error (random init ~8 dB / ~2.0). Gates at 14 dB / 0.25 so only real
-regressions trip.
+Calibration (1-core CPU, 5 seeds via scripts/exp_ngp_gate_seeds.py,
+2026-08-21): PSNR 16.93-19.82 dB (mean 18.00, std 1.03), median relative
+depth 0.067-0.073 (std 0.002); random init ~8 dB / ~2.0. Gates tightened
+to measured-minus-noise (VERDICT r4 item 9): PSNR > 15.0 (worst seed
+minus ~2 sigma), depth < 0.12 (worst seed plus >20 sigma — the depth axis
+is extremely stable on this fixture) so a 1-2 dB regression actually
+trips instead of living inside a 3.6 dB cushion.
 """
 
 import dataclasses
@@ -76,8 +79,10 @@ def _make_scene(rng):
     return kb.insert(buf, jnp.arange(K), packet), colors, depths
 
 
-@pytest.fixture(scope="module")
-def fitted_ngp():
+def fit_ngp(seed: int = 0):
+    """Build + fit the NGP-path fixture with a given seed (init key = seed,
+    ray stream = seed+1). Exposed for the multi-seed gate calibration
+    (scripts/exp_ngp_gate_seeds.py, VERDICT r4 item 9)."""
     rng = np.random.default_rng(7)
     buf, colors, depths = _make_scene(rng)
     # the MappingStage NGP configuration (runtime/stages.py:279-299),
@@ -114,14 +119,19 @@ def fitted_ngp():
                       optimize_extrinsics=False),
         K,
     )
-    state = trainer.init(jax.random.PRNGKey(0))
+    state = trainer.init(jax.random.PRNGKey(seed))
     assert state.occ_grid is not None  # the occupancy path is actually on
-    key = jax.random.PRNGKey(1)
+    key = jax.random.PRNGKey(seed + 1)
     for _ in range(160):
         key, sub = jax.random.split(key)
         state, m = trainer.train_step(state, buf, sub)
     assert np.isfinite(float(m["loss"]))
     return trainer, state, buf, colors, depths
+
+
+@pytest.fixture(scope="module")
+def fitted_ngp():
+    return fit_ngp(0)
 
 
 @pytest.mark.slow
@@ -131,7 +141,7 @@ def test_ngp_psnr_gate(fitted_ngp):
     rgb = np.asarray(out["rgb"])
     mse = float(np.mean((rgb - colors[0]) ** 2))
     psnr = -10.0 * np.log10(max(mse, 1e-10))
-    assert psnr > 14.0, f"instant-ngp path PSNR regressed: {psnr:.2f} dB"
+    assert psnr > 15.0, f"instant-ngp path PSNR regressed: {psnr:.2f} dB"
 
 
 @pytest.mark.slow
@@ -144,7 +154,7 @@ def test_ngp_depth_gate(fitted_ngp):
     gt = depths[0] * dirlen  # rendered depth is euclidean ray distance
     rel = np.abs(pred - gt) / gt
     med = float(np.median(rel))
-    assert med < 0.25, f"instant-ngp path depth regressed: med rel {med:.3f}"
+    assert med < 0.12, f"instant-ngp path depth regressed: med rel {med:.3f}"
 
 
 @pytest.mark.slow
