@@ -41,8 +41,13 @@ from types import SimpleNamespace
 import numpy as np
 
 
-def make_args(n_frames: int, enhancement: str) -> SimpleNamespace:
+def make_args(n_frames: int, enhancement: str, **extra) -> SimpleNamespace:
     # configs/nerf_vo_replica.yaml, minus dataset paths
+    if extra:
+        ns = make_args(n_frames, enhancement)
+        for k, v in extra.items():
+            setattr(ns, k, v)
+        return ns
     return SimpleNamespace(
         dataset_name="replica",
         frame_height=360,
@@ -88,7 +93,8 @@ class SyntheticFrames:
 
 
 def run_arm(label: str, src, steps_per_frame: float, enhancement: str,
-            warmup: int, frames: int, kf_stride: int = 1):
+            warmup: int, frames: int, kf_stride: int = 1,
+            arg_extra: dict | None = None):
     import jax
 
     from nerf_vo_tpu.runtime.stages import (
@@ -97,7 +103,7 @@ def run_arm(label: str, src, steps_per_frame: float, enhancement: str,
         TrackingStage,
     )
 
-    args = make_args(frames, enhancement)
+    args = make_args(frames, enhancement, **(arg_extra or {}))
     H, W = args.frame_height, args.frame_width
     intr = {"fx": 320.0, "fy": 320.0, "cx": W / 2, "cy": H / 2}
     t0 = time.perf_counter()
@@ -219,6 +225,19 @@ def main():
     for spf in (2, 1, 0.5):
         run_arm(f"full spf={spf} kf/5", src, spf, "depth",
                 args_cli.warmup, args_cli.frames, kf_stride=5)
+    # two-chip split arm (mapping + enhancement on device 1, tracking on
+    # device 0): real overlap needs real chips; on the virtual CPU mesh
+    # this still pins the split's full packet flow under bench load
+    if len(jax.devices()) >= 2:
+        run_arm("split dev0/dev1 spf=4 kf/5", src, 4, "depth",
+                args_cli.warmup, args_cli.frames, kf_stride=5,
+                arg_extra={"mapping_device": 1, "enhancement_device": 1})
+    else:
+        print(json.dumps({
+            "metric": "pipeline_tracking_fps[split dev0/dev1]",
+            "value": None, "unit": "frames/s",
+            "skipped": "needs >= 2 devices (one tunneled chip here)",
+        }), flush=True)
 
 
 if __name__ == "__main__":

@@ -115,3 +115,34 @@ def test_edge_budget_respected(tracker_net, rng):
         assert tr.e_valid.sum() <= TINY.max_edges
         # free list + valid = total
         assert len(tr.free_edges) + tr.e_valid.sum() == TINY.max_edges
+
+
+def test_edge_slot_uniqueness_check():
+    """The NERF_VO_DEBUG_CHECKS invariant guard (ADVICE r4): live edges
+    sharing a (kk, jj mod R) nbr_tab slot must raise, unique slots must
+    pass. Called unbound with a stub tracker — the check only reads cfg
+    and e_patch_g."""
+    from types import SimpleNamespace
+
+    from nerf_vo_tpu.tracking.dpvo import DPVOTracker, TrackingConfig
+
+    cfg = TrackingConfig(ring_size=4, patches_per_frame=2)
+    E = 6
+    stub = SimpleNamespace(cfg=cfg, e_patch_g=np.arange(E))
+    base = np.zeros(E, np.int64)  # all in window position 0
+    live = np.ones(E, bool)
+    live[4:] = False
+    # kk = base + patch%P = [0,1,0,1,...]; jj chosen so the 4 live slots
+    # kk*R + jj%R = [0,4,1,5] are distinct
+    e_jj = np.asarray([0, 0, 1, 1, 0, 0])
+    DPVOTracker._check_edge_slot_uniqueness(stub, live, base, e_jj)  # ok
+
+    # now force a collision: edges 0 and 2 share (kk=0, jj%R=0)
+    e_patch = np.asarray([0, 1, 2, 3, 4, 5])
+    stub2 = SimpleNamespace(cfg=cfg, e_patch_g=e_patch)
+    e_jj_bad = np.asarray([0, 1, 0, 1, 0, 0])
+    # kk for edge 0 = 0, edge 2 = 2%2 = 0 -> same slot as edge 0
+    with pytest.raises(AssertionError, match="slot collision"):
+        DPVOTracker._check_edge_slot_uniqueness(
+            stub2, np.ones(E, bool), base, e_jj_bad
+        )
