@@ -136,6 +136,25 @@ def main():
         print("pallas gather_interp FAILED to lower/run:", flush=True)
         traceback.print_exc(limit=3)
 
+    # --- arm 5b: reshape-free fused variant (one-hot MXU contraction;
+    # the bounded follow-up from VERDICT r4 weak #6 — first fused
+    # formulation that can actually lower if Mosaic accepts the iota
+    # matmuls) ----------------------------------------------------------
+    try:
+        dt = bench(
+            lambda t, i, ww: gp.gather_interp_mm(t, i, ww, features=8),
+            tab_level, idx1, w,
+        )
+        o = gp.gather_interp_mm(tab_level, idx1, w, features=8)
+        r = xla_chain(tab_level, idx1, w)
+        err = float(jnp.max(jnp.abs(o.astype(jnp.float32) - r)))
+        print(f"pallas gather_interp_mm:      {dt*1e3:7.3f} ms "
+              f"({dt / M_LEVEL * 1e9:5.2f} ns/desc) maxerr={err:.2e}",
+              flush=True)
+    except Exception:
+        print("pallas gather_interp_mm FAILED to lower/run:", flush=True)
+        traceback.print_exc(limit=3)
+
     # --- arm 6: VMEM-resident Pallas scatter-accumulate vs XLA scatter ---
     # the backward table gradient: XLA's column scatter-add is pinned at
     # ~22-27 ns/descriptor (tpu_runs/exp_scatter4.log); this accumulates

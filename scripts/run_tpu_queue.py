@@ -67,6 +67,9 @@ QUEUE = [
     # v4 adds the realistic-keyframe-rate arm (kf/5) + this round's
     # tracker/sampler changes
     ("bench_pipeline_v4", [sys.executable, "bench_pipeline.py"], 3600),
+    # reshape-free fused gather+interp (one-hot MXU contraction) — the
+    # bounded VERDICT r4 weak-#6 follow-up; same script, new arm 5b
+    ("exp_gather_mm", [sys.executable, "scripts/exp_gather_pallas.py"], 2400),
     ("exp_vo_cut_r5", [sys.executable, "scripts/exp_vo_cut.py"], 2400),
     # final headline AFTER any default flips (re-run with --force)
     ("bench_r5", [sys.executable, "bench.py"], 1800),

@@ -50,6 +50,25 @@ def test_gather_interp_matches_chain(data):
 
 
 @pytest.mark.slow
+def test_gather_interp_mm_matches_chain(data):
+    """The reshape-free (one-hot matmul) fused variant must match the
+    same reference chain — this is the formulation built to dodge the
+    Mosaic shape-cast limit that stopped gather_interp from lowering."""
+    tab, idx, rng = data
+    M = idx.shape[0]
+    w = jnp.asarray(rng.uniform(0, 1, (M, 32)), jnp.bfloat16)
+    out = np.asarray(
+        gp.gather_interp_mm(tab, idx, w, features=8, interpret=True,
+                            tile=TILE), np.float32
+    )
+    ref = np.take(np.asarray(tab, np.float32), np.asarray(idx), axis=0)
+    want = np.sum(
+        ref.reshape(M, 32, 8) * np.asarray(w, np.float32)[:, :, None], axis=1
+    )
+    assert float(np.max(np.abs(out - want))) < 0.05
+
+
+@pytest.mark.slow
 def test_scatter_accum_matches_xla(data):
     tab, idx, rng = data
     M = idx.shape[0]
