@@ -18,7 +18,11 @@ Output: per-arm step times + a JSON summary.
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
