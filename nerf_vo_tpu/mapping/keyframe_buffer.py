@@ -51,14 +51,16 @@ from nerf_vo_tpu.core import cameras, conventions
 # Same elements either way; flip the default on the in-step gate.
 _PIXEL_GATHER = _os.environ.get("NERF_VO_PIXEL_GATHER", "take")
 
-# NERF_VO_PIXEL_DTYPE=bfloat16 stores the packed pixel buffer (training
-# TARGETS: color/depth/normal/cov) at half the bytes. The 28K-descriptor
-# ray-batch pixel gather measured ~167 ns/descriptor from the 1.24 GB f32
-# buffer (tpu_runs/exp_raybatch2.log); if the d8 arm shows it is
-# operand-byte-bound, bf16 buys ~2x on that ~4.8 ms. Default stays f32
-# until BOTH the d8 speed arm and a paired-seed quality gate pass
-# (bf16 depth targets carry ~0.4% relative error).
-_PIXEL_DTYPE_NAME = _os.environ.get("NERF_VO_PIXEL_DTYPE", "float32")
+# NERF_VO_PIXEL_DTYPE stores the packed pixel buffer (training TARGETS:
+# color/depth/normal/cov). DEFAULT bfloat16 since 2026-08-21: both gate
+# halves passed —
+#   speed: the ~4.7 ms ray-batch pixel take is element-byte-bound; bf16
+#     operand = 2.843 vs 4.663 ms = 1.65x (tpu_runs/exp_raybatch2.log d8);
+#   quality: paired-seed gate PASS, dPSNR +0.01 [-0.70, +0.37], IQM-depth
+#     delta +0.021 [-0.019, +0.097] (tpu_runs/exp_gate_bf16.log,
+#     rule pre-registered in TPU_QUEUE.md).
+# Set NERF_VO_PIXEL_DTYPE=float32 to restore exact f32 targets.
+_PIXEL_DTYPE_NAME = _os.environ.get("NERF_VO_PIXEL_DTYPE", "bfloat16")
 if _PIXEL_DTYPE_NAME not in ("float32", "bfloat16"):
     raise ValueError(
         "NERF_VO_PIXEL_DTYPE must be 'float32' or 'bfloat16', got "
