@@ -53,8 +53,14 @@ def main():
 
     smoke = "--smoke" in sys.argv  # CPU wiring check: tiny shapes
     H, W = (64, 96) if smoke else (240, 320)
+    # motion_threshold=0 ALWAYS: with random weights the motion filter's
+    # flow statistic is meaningless (first on-chip run admitted 0 of 30
+    # frames at the reference 2.4 threshold -> E=0, nothing to bisect).
+    # The bisect needs the real per-keyframe hot path to run; the
+    # reference runs update() for every ADMITTED frame, which is what the
+    # cuts attribute.
     cfg = DroidConfig(buffer_size=32 if smoke else 128,
-                      motion_threshold=0.0 if smoke else 2.4,
+                      motion_threshold=0.0,
                       perform_global_ba=False, compute_covariances=False)
     net, params = init_droid_params(jax.random.PRNGKey(0), H, W)
     tracker = DROIDSLAMTracker(cfg, net, params, H, W)

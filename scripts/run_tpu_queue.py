@@ -71,6 +71,9 @@ QUEUE = [
     # bounded VERDICT r4 weak-#6 follow-up; same script, new arm 5b
     ("exp_gather_mm", [sys.executable, "scripts/exp_gather_pallas.py"], 2400),
     ("exp_vo_cut_r5", [sys.executable, "scripts/exp_vo_cut.py"], 2400),
+    # honest DROID frontend rate: motion_threshold=0 (the old bench timed
+    # encode+filter only — random weights admit nothing at threshold 2.4)
+    ("bench_droid_r5", [sys.executable, "bench_droid.py"], 2400),
     # final headline AFTER any default flips (re-run with --force)
     ("bench_r5", [sys.executable, "bench.py"], 1800),
 ]
