@@ -16,12 +16,23 @@ target grid (bilinear neighborhood gathers on the two minor axes).
 from __future__ import annotations
 
 import functools
+import os as _os
 from typing import List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 
 _HI = jax.lax.Precision.HIGHEST
+
+# Lookup formulation (see corr_lookup): "rows" = row-gather window route
+# (default; 24x fewer gather descriptors), "scalar" = original per-tap
+# scalar-gather route kept for A/B and as an exactness reference.
+_CORR_LOOKUP_ROUTE = _os.environ.get("NERF_VO_DENSE_CORR_LOOKUP", "rows")
+if _CORR_LOOKUP_ROUTE not in ("rows", "scalar"):
+    raise ValueError(
+        "NERF_VO_DENSE_CORR_LOOKUP must be 'rows' or 'scalar', got "
+        f"{_CORR_LOOKUP_ROUTE!r}"
+    )
 
 
 def build_corr_pyramid(fmap_i, fmap_j, num_levels: int = 4):
@@ -78,6 +89,61 @@ def _bilinear_volume_gather(vol, coords):
     return out
 
 
+def _window_volume_gather(vol, coords, radius: int):
+    """All (2r+1)^2 bilinear window taps around per-row centers, via row
+    gathers instead of per-tap scalar gathers.
+
+    The naive formulation (_bilinear_volume_gather over center+offset
+    coords) issues E*P*(2r+1)^2*4 SCALAR gather descriptors — measured
+    catastrophic on TPU: 700.9 ms of the DROID update's 790 ms at
+    production shapes (tpu_runs/exp_droid_cut.log, 2026-08-21; ~45M
+    descriptors at the chip's ~15 ns/desc scalar-gather rate). But every
+    integer offset shares ONE fractional part per center, so the union of
+    all taps is a (2r+2)^2 integer grid: gather its rows (E*P*(2r+2)
+    row descriptors — 24x fewer, each a contiguous [wl] read), select the
+    (2r+2) columns with an iota-one-hot einsum (no gather at all), and
+    bilinear-combine with 4 shifted adds. Exact same math including the
+    out-of-bounds zeroing (OOB rows are masked; OOB columns match no
+    one-hot lane).
+
+    vol [E, P, hl, wl]; coords [E, P, 2] (x, y) at this level.
+    Returns [E, P, (2r+1)^2].
+    """
+    E, P, H, W = vol.shape
+    D = 2 * radius + 1
+    G = D + 1
+    x = coords[..., 0]
+    y = coords[..., 1]
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    fx = (x - x0f)[..., None, None]
+    fy = (y - y0f)[..., None, None]
+    bx = x0f.astype(jnp.int32) - radius
+    by = y0f.astype(jnp.int32) - radius
+
+    rows = by[..., None] + jnp.arange(G, dtype=jnp.int32)  # [E, P, G]
+    rvalid = (rows >= 0) & (rows < H)
+    ep = jnp.arange(E * P, dtype=jnp.int32).reshape(E, P)
+    ridx = ep[..., None] * H + jnp.clip(rows, 0, H - 1)
+    g = jnp.take(vol.reshape(E * P * H, W), ridx, axis=0)  # [E, P, G, W]
+    g = g * rvalid[..., None]
+
+    cols = bx[..., None] + jnp.arange(G, dtype=jnp.int32)  # [E, P, G]
+    sel = (
+        cols[:, :, :, None]
+        == jnp.arange(W, dtype=jnp.int32)[None, None, None, :]
+    ).astype(vol.dtype)  # [E, P, G, W] one-hot (OOB cols: all-zero row)
+    B = jnp.einsum("epgw,epjw->epgj", g, sel)  # [E, P, G(rows), G(cols)]
+
+    b00 = B[:, :, :D, :D]
+    b01 = B[:, :, :D, 1:]
+    b10 = B[:, :, 1:, :D]
+    b11 = B[:, :, 1:, 1:]
+    out = ((1 - fy) * (1 - fx) * b00 + (1 - fy) * fx * b01
+           + fy * (1 - fx) * b10 + fy * fx * b11)  # [E, P, D(y), D(x)]
+    return out.reshape(E, P, D * D)
+
+
 @functools.partial(jax.jit, static_argnames=("radius",))
 def corr_lookup(pyramid: Sequence[jnp.ndarray], coords, radius: int = 3):
     """Pyramid neighborhood lookup at per-pixel correspondences.
@@ -87,17 +153,26 @@ def corr_lookup(pyramid: Sequence[jnp.ndarray], coords, radius: int = 3):
       coords: [E, h, w, 2] (x, y) correspondence estimates at level 0.
 
     Returns: [E, h, w, L * (2r+1)^2] correlation features.
+
+    Uses the row-gather window formulation (_window_volume_gather) — the
+    per-tap scalar-gather route it replaced cost 700.9 ms/update at
+    production DROID shapes. NERF_VO_DENSE_CORR_LOOKUP=scalar restores it
+    (exact-equality pinned by tests/test_dense_corr lookup tests).
     """
     E, h, w, _ = coords.shape
     P = h * w
     D = 2 * radius + 1
-    dx = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
-    offs = jnp.stack(jnp.meshgrid(dx, dx, indexing="xy"), -1).reshape(
-        1, 1, D * D, 2
-    )
-    c0 = coords.reshape(E, P, 1, 2)
+    c0 = coords.reshape(E, P, 2)
     out = []
     for l, vol in enumerate(pyramid):
-        c = c0 / (2.0**l) + offs
-        out.append(_bilinear_volume_gather(vol, c))  # [E, P, D*D]
+        if _CORR_LOOKUP_ROUTE == "scalar":
+            dx = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+            offs = jnp.stack(
+                jnp.meshgrid(dx, dx, indexing="xy"), -1
+            ).reshape(1, 1, D * D, 2)
+            out.append(_bilinear_volume_gather(
+                vol, c0[:, :, None, :] / (2.0**l) + offs
+            ))
+        else:
+            out.append(_window_volume_gather(vol, c0 / (2.0**l), radius))
     return jnp.concatenate(out, axis=-1).reshape(E, h, w, -1)

@@ -169,3 +169,35 @@ def test_global_dense_ba_converges(rng):
     assert np.abs(err).max() < 5e-3, np.abs(err).max()
     rel = np.abs(np.asarray(disps - disps_true) / np.asarray(disps_true))
     assert np.median(rel) < 1e-2
+
+
+def test_corr_lookup_routes_match(rng):
+    """The row-gather window route (default; built after the scalar route
+    measured 700.9 ms/update on-chip, tpu_runs/exp_droid_cut.log) must
+    match the per-tap scalar-gather route exactly — fractional coords,
+    borders, and out-of-bounds zeroing included."""
+    from nerf_vo_tpu.ops import dense_corr as dc
+
+    E, C = 2, 8
+    f_i = jnp.asarray(rng.normal(size=(E, H, W, C)), jnp.float32)
+    f_j = jnp.asarray(rng.normal(size=(E, H, W, C)), jnp.float32)
+    pyr = build_corr_pyramid(f_i, f_j, num_levels=3)
+    # fractional coords spilling past every border
+    coords = jnp.asarray(
+        rng.uniform(-4.0, W + 3.0, size=(E, H, W, 2)), jnp.float32
+    )
+
+    routes = {}
+    orig = dc._CORR_LOOKUP_ROUTE
+    try:
+        for route in ("rows", "scalar"):
+            dc._CORR_LOOKUP_ROUTE = route
+            # bypass the jit cache (the route is read at trace time)
+            routes[route] = np.asarray(
+                dc.corr_lookup.__wrapped__(pyr, coords, radius=3)
+            )
+    finally:
+        dc._CORR_LOOKUP_ROUTE = orig
+    np.testing.assert_allclose(
+        routes["rows"], routes["scalar"], rtol=1e-5, atol=1e-5
+    )
