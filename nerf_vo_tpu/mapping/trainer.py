@@ -29,15 +29,20 @@ from nerf_vo_tpu.models.nerfacto import NerfactoConfig, NerfactoModel
 
 # NERF_VO_PREFETCH_BATCH=1 double-buffers the ray-batch PIXEL gather in
 # TrainState: step t trains on the pixel batch sampled during step t-1 and
-# samples step t+1's batch in the same program. The 4.7 ms pixel gather
-# then has NO consumer inside its own step, freeing XLA to overlap its DMA
-# with the proposal/field matmuls (exp_floor_r4: removing the sampler cuts
-# the step 26.61 -> 20.53 ms, so today there is zero overlap). Ray
-# generation stays in-step on the CURRENT pose_deltas, so camera-opt
-# gradients are exact; only the pixel TARGETS are one step stale (the
-# reference's host-side PixelSampler has the same property across its
-# process pipeline, nerfstudio_utils.py:295-300). Default off until the
-# in-step gate (scripts/exp_prefetch.py) lands a win.
+# samples step t+1's batch in the same program, so the gather has NO
+# consumer inside its own step. Ray generation stays in-step on the
+# CURRENT pose_deltas (camera-opt gradients exact); only the pixel
+# TARGETS are one step stale (the reference's host-side PixelSampler has
+# the same property across its process pipeline,
+# nerfstudio_utils.py:295-300).
+# MEASURED NEGATIVE (2026-08-21, tpu_runs/exp_prefetch.log): A-B-A
+# best-of 23.83 ms off vs 23.73 ms on (0.4%, rule needed >5%) — the TPU
+# executes the program's ops serially, so removing the data dependency
+# does NOT let the gather DMA overlap the matmuls; there is no dual-queue
+# concurrency to exploit at the XLA op level. Default stays off; the
+# mechanism is kept because it is cheap, correct, and the right shape for
+# a future backend whose scheduler can overlap (or for multi-chip splits
+# where the sampler runs on another core's step).
 _PREFETCH_BATCH = _os.environ.get("NERF_VO_PREFETCH_BATCH", "0") == "1"
 
 
