@@ -34,6 +34,23 @@ if _CORR_LOOKUP_ROUTE not in ("rows", "scalar"):
         f"{_CORR_LOOKUP_ROUTE!r}"
     )
 
+# Volume storage dtype. DEFAULT bfloat16 (2026-08-21): the window lookup's
+# row take is element-byte-bound — bf16 volumes measure 42.4 vs 65.0 ms
+# (1.53x) at production DROID shapes (tpu_runs/exp_droid_corr.log) — and
+# half-precision correlation is REFERENCE behavior: the upstream
+# DROID-SLAM stores feature maps and computes its CorrBlock volumes under
+# fp16 autocast (reference droid_slam.py:340,1075 autocast +
+# half-precision keyframe feature buffers). The pyramid build einsum
+# stays f32 (HIGHEST) and casts at the end; lookups cast back to f32.
+_PYRAMID_DTYPE_NAME = _os.environ.get("NERF_VO_CORR_PYRAMID_DTYPE",
+                                      "bfloat16")
+if _PYRAMID_DTYPE_NAME not in ("float32", "bfloat16"):
+    raise ValueError(
+        "NERF_VO_CORR_PYRAMID_DTYPE must be 'float32' or 'bfloat16', got "
+        f"{_PYRAMID_DTYPE_NAME!r}"
+    )
+_PYRAMID_DTYPE = jnp.dtype(_PYRAMID_DTYPE_NAME)
+
 
 def build_corr_pyramid(fmap_i, fmap_j, num_levels: int = 4):
     """All-pairs correlation pyramid for a batch of edges.
@@ -42,7 +59,8 @@ def build_corr_pyramid(fmap_i, fmap_j, num_levels: int = 4):
       fmap_i: [E, h, w, C] source features.
       fmap_j: [E, h, w, C] target features.
 
-    Returns: list of [E, h*w, h/2^l, w/2^l] volumes, l = 0..num_levels-1.
+    Returns: list of [E, h*w, h/2^l, w/2^l] volumes (``_PYRAMID_DTYPE``),
+    l = 0..num_levels-1.
     """
     E, h, w, C = fmap_i.shape
     fi = fmap_i.reshape(E, h * w, C).astype(jnp.float32)
@@ -60,7 +78,9 @@ def build_corr_pyramid(fmap_i, fmap_j, num_levels: int = 4):
         c = c[..., : hl * ph, : wl * pw]
         c = c.reshape(E, h * w, hl, ph, wl, pw).mean(axis=(3, 5))
         pyramid.append(c)
-    return pyramid
+    # pooling runs in f32; only the stored volumes are cast (see
+    # _PYRAMID_DTYPE — element-byte-bound lookups, upstream fp16 parity)
+    return [c.astype(_PYRAMID_DTYPE) for c in pyramid]
 
 
 def _bilinear_volume_gather(vol, coords):
