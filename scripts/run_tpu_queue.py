@@ -30,6 +30,7 @@ QUEUE = [
     ("bench_droid_r4", [sys.executable, "bench_droid.py"], 2400),
     ("exp_vo_cut_r4", [sys.executable, "scripts/exp_vo_cut.py"], 2400),
     ("exp_floor_r4", [sys.executable, "scripts/exp_floor.py"], 2400),
+    ("exp_floor_r5", [sys.executable, "scripts/exp_floor.py"], 2400),
     ("exp_gather_pallas",
      [sys.executable, "scripts/exp_gather_pallas.py"], 2400),
     # v2: decomposition arms (full spf=4/1, no-dpt) + the device-resident
