@@ -77,6 +77,9 @@ QUEUE = [
     ("bench_droid_r5", [sys.executable, "bench_droid.py"], 2400),
     # final headline AFTER any default flips (re-run with --force)
     ("bench_r5", [sys.executable, "bench.py"], 1800),
+    # clean pacing-curve re-run: v4's spf<=1 kf/5 arms inverted with a
+    # monotonic tunnel slowdown; one more session adjudicates the curve
+    ("bench_pipeline_v5", [sys.executable, "bench_pipeline.py"], 3600),
 ]
 
 
