@@ -24,14 +24,19 @@ import jax.numpy as jnp
 
 _HI = jax.lax.Precision.HIGHEST
 
-# Lookup formulation (see corr_lookup): "rows" = row-gather window route
-# (default; 24x fewer gather descriptors), "scalar" = original per-tap
-# scalar-gather route kept for A/B and as an exactness reference.
-_CORR_LOOKUP_ROUTE = _os.environ.get("NERF_VO_DENSE_CORR_LOOKUP", "rows")
-if _CORR_LOOKUP_ROUTE not in ("rows", "scalar"):
+# Lookup formulation (see corr_lookup), in descending speed order — all
+# three are exact-equality tested against each other:
+#   "blocks" (default) — TWO aligned 8-row block gathers per window
+#     (22.0 ms isolated / 19.0 in-step at production shapes,
+#     tpu_runs/exp_droid_corr.log + exp_droid_cut_blocks.log);
+#   "rows"   — G row gathers per window (42.5 ms isolated);
+#   "scalar" — original per-tap scalar gathers (694 ms; the exactness
+#     reference).
+_CORR_LOOKUP_ROUTE = _os.environ.get("NERF_VO_DENSE_CORR_LOOKUP", "blocks")
+if _CORR_LOOKUP_ROUTE not in ("rows", "scalar", "blocks"):
     raise ValueError(
-        "NERF_VO_DENSE_CORR_LOOKUP must be 'rows' or 'scalar', got "
-        f"{_CORR_LOOKUP_ROUTE!r}"
+        "NERF_VO_DENSE_CORR_LOOKUP must be 'rows', 'scalar' or 'blocks', "
+        f"got {_CORR_LOOKUP_ROUTE!r}"
     )
 
 # Volume storage dtype. DEFAULT bfloat16 (2026-08-21): the window lookup's
@@ -164,6 +169,70 @@ def _window_volume_gather(vol, coords, radius: int):
     return out.reshape(E, P, D * D)
 
 
+def _window_volume_gather_blocks(vol, coords, radius: int):
+    """Same contract as :func:`_window_volume_gather`, but the G row
+    gathers per center collapse to TWO aligned 8-row BLOCK gathers
+    (4x fewer descriptors at radius 3 — the rows route measured
+    row-take-bound: 40.8 of 42.5 ms, tpu_runs/exp_droid_corr.log).
+
+    The volume is zero-padded by 8 rows on top (so negative window
+    starts index real padding, never clipped-wrong rows) and enough on
+    the bottom that block0+1 always exists; the wanted G rows are then
+    picked out of the 16 gathered rows with an iota-one-hot einsum and
+    masked by true row validity.
+    """
+    E, P, H, W = vol.shape
+    D = 2 * radius + 1
+    G = D + 1
+    # top pad 8; bottom pad so (clip(by)+8)//8 + 1 is always a valid block
+    Hp = ((H + 8) // 8 + 2) * 8
+    volp = jnp.pad(vol, ((0, 0), (0, 0), (8, Hp - H - 8), (0, 0)))
+
+    x = coords[..., 0]
+    y = coords[..., 1]
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    fx = (x - x0f)[..., None, None]
+    fy = (y - y0f)[..., None, None]
+    bx = x0f.astype(jnp.int32) - radius
+    by = y0f.astype(jnp.int32) - radius
+
+    byc = jnp.clip(by, -8, H) + 8  # padded-row start, in [0, H+8]
+    blk0 = byc // 8  # [E, P]
+    ep = jnp.arange(E * P, dtype=jnp.int32).reshape(E, P)
+    base = ep * (Hp // 8)
+    bidx = jnp.stack([base + blk0, base + blk0 + 1], axis=-1)  # [E, P, 2]
+    g16 = jnp.take(
+        volp.reshape(E * P * (Hp // 8), 8 * W), bidx, axis=0
+    ).reshape(E, P, 16, W)
+
+    # pick rows (byc % 8) + s, s = 0..G-1, out of the 16
+    r0 = byc % 8
+    want = r0[..., None] + jnp.arange(G, dtype=jnp.int32)  # [E, P, G]
+    sel_r = (
+        want[:, :, :, None]
+        == jnp.arange(16, dtype=jnp.int32)[None, None, None, :]
+    ).astype(vol.dtype)  # [E, P, G, 16]
+    g = jnp.einsum("epsr,eprw->epsw", sel_r, g16)  # [E, P, G, W]
+    rows = by[..., None] + jnp.arange(G, dtype=jnp.int32)
+    g = g * ((rows >= 0) & (rows < H))[..., None]
+
+    cols = bx[..., None] + jnp.arange(G, dtype=jnp.int32)
+    sel_c = (
+        cols[:, :, :, None]
+        == jnp.arange(W, dtype=jnp.int32)[None, None, None, :]
+    ).astype(vol.dtype)
+    B = jnp.einsum("epgw,epjw->epgj", g, sel_c)
+
+    b00 = B[:, :, :D, :D]
+    b01 = B[:, :, :D, 1:]
+    b10 = B[:, :, 1:, :D]
+    b11 = B[:, :, 1:, 1:]
+    out = ((1 - fy) * (1 - fx) * b00 + (1 - fy) * fx * b01
+           + fy * (1 - fx) * b10 + fy * fx * b11)
+    return out.reshape(E, P, D * D)
+
+
 @functools.partial(jax.jit, static_argnames=("radius",))
 def corr_lookup(pyramid: Sequence[jnp.ndarray], coords, radius: int = 3):
     """Pyramid neighborhood lookup at per-pixel correspondences.
@@ -193,6 +262,10 @@ def corr_lookup(pyramid: Sequence[jnp.ndarray], coords, radius: int = 3):
             out.append(_bilinear_volume_gather(
                 vol, c0[:, :, None, :] / (2.0**l) + offs
             ))
+        elif _CORR_LOOKUP_ROUTE == "blocks":
+            out.append(
+                _window_volume_gather_blocks(vol, c0 / (2.0**l), radius)
+            )
         else:
             out.append(_window_volume_gather(vol, c0 / (2.0**l), radius))
     return jnp.concatenate(out, axis=-1).reshape(E, h, w, -1)

@@ -67,6 +67,7 @@ def main():
 
     orig = dc._CORR_LOOKUP_ROUTE
     for route, label in (("rows", "a. full lookup rows route"),
+                         ("blocks", "a2. full lookup blocks route"),
                          ("scalar", "b. full lookup scalar route")):
         dc._CORR_LOOKUP_ROUTE = route
         f = jax.jit(lambda p, c: dc.corr_lookup.__wrapped__(p, c,

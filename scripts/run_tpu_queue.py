@@ -80,6 +80,9 @@ QUEUE = [
     # clean pacing-curve re-run: v4's spf<=1 kf/5 arms inverted with a
     # monotonic tunnel slowdown; one more session adjudicates the curve
     ("bench_pipeline_v5", [sys.executable, "bench_pipeline.py"], 3600),
+    # corr-lookup decomposition (row-take floor / bf16 volumes / einsum)
+    ("exp_droid_corr", [sys.executable, "scripts/exp_droid_corr.py"], 1800),
+    ("bench_r5b", [sys.executable, "bench.py"], 1800),
 ]
 
 

@@ -190,7 +190,7 @@ def test_corr_lookup_routes_match(rng):
     routes = {}
     orig = dc._CORR_LOOKUP_ROUTE
     try:
-        for route in ("rows", "scalar"):
+        for route in ("rows", "scalar", "blocks"):
             dc._CORR_LOOKUP_ROUTE = route
             # bypass the jit cache (the route is read at trace time)
             routes[route] = np.asarray(
@@ -200,4 +200,7 @@ def test_corr_lookup_routes_match(rng):
         dc._CORR_LOOKUP_ROUTE = orig
     np.testing.assert_allclose(
         routes["rows"], routes["scalar"], rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        routes["blocks"], routes["scalar"], rtol=1e-5, atol=1e-5
     )
