@@ -125,8 +125,16 @@ def main():
         # targets, evals against the same f32 held-out rays as every other
         # arm — the quality half of the d8 flip decision (exp_raybatch2)
         ("PROD + bf16 pixel buffer", {"__bf16_pixels__": True}),
+        # phased table grads: one scattered level's descriptors get
+        # gradients per step. OLD single-seed verdict: -1.36 dB for 1.21x
+        # (exp_gradphase.log) — but that protocol's run-to-run spread was
+        # +-1.6 dB, so re-adjudicate under the paired gate (+16% headline
+        # at stake, exp_floor_r5: 195K rays/s).
+        ("PROD + phased table grads", {"table_grad_phase": True}),
     ]
     if "--bf16-only" in sys.argv:  # cheap on-chip gate: PROD vs bf16 pixels
+        arms = [arms[0], arms[4]]
+    if "--phase-only" in sys.argv:  # PROD vs phased table grads
         arms = [arms[0], arms[-1]]
     if smoke:
         for _, over in arms:

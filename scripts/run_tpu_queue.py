@@ -83,6 +83,10 @@ QUEUE = [
     # corr-lookup decomposition (row-take floor / bf16 volumes / einsum)
     ("exp_droid_corr", [sys.executable, "scripts/exp_droid_corr.py"], 1800),
     ("bench_r5b", [sys.executable, "bench.py"], 1800),
+    # re-adjudicate the phased-table-grads rejection (old single-seed
+    # -1.36 dB) under the paired-seed IQM gate; +16% headline at stake
+    ("exp_gate_phase",
+     [sys.executable, "scripts/exp_gate_samples.py", "--phase-only"], 3600),
 ]
 
 
