@@ -20,6 +20,7 @@ The reference's GTSAM usage is exactly dense Hessian assembly + Cholesky
 from __future__ import annotations
 
 import functools
+import os as _os
 from typing import NamedTuple, Tuple
 
 import jax
@@ -29,6 +30,25 @@ from nerf_vo_tpu.core import lie
 from nerf_vo_tpu.ops.ba import _edge_residual, project, unproject
 
 _HI = jax.lax.Precision.HIGHEST
+
+# Reduced-camera-system assembly route (see gn_iteration):
+#   "gs"     — window-expanded sqrt-weighted rows Gs [E, hw, 2, P*6] and
+#              one Gs^T Gs matmul (the ops/ba.py-style formulation);
+#   "blocks" — per-edge 12x12 Hessian blocks + quadrant scatter; skips
+#              the Gs materialization entirely. exp_dense_ba_stages
+#              attributed 14.1 of the 17.5 ms GN iteration to the Gs
+#              assembly+product at DROID shapes (E~100, hw=1200) — the
+#              regime is the OPPOSITE of the sparse tracker BA's
+#              (E=32768, hw=9), where blocks lost to Gs.
+# DEFAULT "blocks" (2026-08-21): isolated 2-iter solve 34.9 -> 9.66 ms
+# (tpu_runs/exp_dense_ba_cut.log gs vs blocks); trajectory-equivalence
+# pinned by tests/test_dense_ba.py::test_dense_ba_assembly_routes_match.
+_BA_ASSEMBLY = _os.environ.get("NERF_VO_DENSE_BA_ASSEMBLY", "blocks")
+if _BA_ASSEMBLY not in ("gs", "blocks"):
+    raise ValueError(
+        "NERF_VO_DENSE_BA_ASSEMBLY must be 'gs' or 'blocks', got "
+        f"{_BA_ASSEMBLY!r}"
+    )
 
 
 def dense_reproject(poses, disps, intrinsics, ii, jj):
@@ -154,31 +174,63 @@ def _dense_ba_core(
         # 4-combination loop this replaces ran (E*hw)-batched 6-wide
         # einsums that pad to 128 on both MXU operand dims (same fix as
         # ops/ba.py; measured 4.4 of 6.6 ms there).
-        oh_i = jax.nn.one_hot(jnp.where(li >= 0, sl_i, P), P + 1)[:, :P]
-        oh_j = jax.nn.one_hot(jnp.where(lj >= 0, sl_j, P), P + 1)[:, :P]
         # Precondition: confidence weights must be >= 0 (they are sigmoid
         # outputs today) — the sqrt factorization is not sign-agnostic, so
         # clamp to keep a future signed-weight net from emitting NaNs that
         # the isfinite guard would silently mask into zero updates.
         sw = jnp.sqrt(jnp.maximum(wm, 0.0))  # [E, hwl, 2]
-        Gs = (
-            (sw[..., None] * J_i)[..., None, :] * oh_i[:, None, None, :, None]
-            + (sw[..., None] * J_j)[..., None, :] * oh_j[:, None, None, :, None]
-        ).reshape(E, hwl, 2, P * 6)
+        swJd = sw * J_d  # [E, hwl, 2]
+        li_s = jnp.where(li >= 0, sl_i, P)  # trash slot P for fixed poses
+        lj_s = jnp.where(lj >= 0, sl_j, P)
 
-        Gs_flat = Gs.reshape(E * hwl * 2, P * 6)
-        B = jnp.matmul(Gs_flat.T, Gs_flat, precision=_HI)  # [P6, P6]
-        v = jnp.matmul(Gs_flat.T, (sw * -r).reshape(-1), precision=_HI)
+        if _BA_ASSEMBLY == "blocks":
+            # per-edge 12x12 Hessian blocks + quadrant scatter-add: never
+            # materializes the [E, hwl, 2, P*6] Gs rows (the measured
+            # bulk of the GN iteration at dense shapes); sum order
+            # changes, values are identical up to f32 reassociation
+            Jcat = jnp.concatenate(
+                [sw[..., None] * J_i, sw[..., None] * J_j], axis=-1
+            )  # [E, hwl, 2, 12]
+            Hb = jnp.einsum("ehck,ehcl->ekl", Jcat, Jcat,
+                            precision=_HI)  # [E, 12, 12]
+            vb = jnp.einsum("ehck,ehc->ek", Jcat, sw * -r,
+                            precision=_HI)  # [E, 12]
+            B4 = jnp.zeros((P + 1, P + 1, 6, 6))
+            B4 = B4.at[li_s, li_s].add(Hb[:, :6, :6])
+            B4 = B4.at[li_s, lj_s].add(Hb[:, :6, 6:])
+            B4 = B4.at[lj_s, li_s].add(Hb[:, 6:, :6])
+            B4 = B4.at[lj_s, lj_s].add(Hb[:, 6:, 6:])
+            B = B4[:P, :P].transpose(0, 2, 1, 3).reshape(P * 6, P * 6)
+            v = jnp.zeros((P + 1, 6)).at[li_s].add(vb[:, :6]).at[
+                lj_s].add(vb[:, 6:])[:P].reshape(P * 6)
+
+            u12 = jnp.einsum("ehck,ehc->ehk", Jcat, swJd)  # [E, hwl, 12]
+            U4 = jnp.zeros((N, hwl, P + 1, 6))
+            U4 = U4.at[ii, :, li_s].add(u12[..., :6])
+            U4 = U4.at[ii, :, lj_s].add(u12[..., 6:])
+            U = U4[:, :, :P].reshape(N, hwl, P * 6)
+        else:
+            oh_i = jax.nn.one_hot(li_s, P + 1)[:, :P]
+            oh_j = jax.nn.one_hot(lj_s, P + 1)[:, :P]
+            Gs = (
+                (sw[..., None] * J_i)[..., None, :]
+                * oh_i[:, None, None, :, None]
+                + (sw[..., None] * J_j)[..., None, :]
+                * oh_j[:, None, None, :, None]
+            ).reshape(E, hwl, 2, P * 6)
+
+            Gs_flat = Gs.reshape(E * hwl * 2, P * 6)
+            B = jnp.matmul(Gs_flat.T, Gs_flat, precision=_HI)  # [P6, P6]
+            v = jnp.matmul(Gs_flat.T, (sw * -r).reshape(-1), precision=_HI)
+            u_all = (
+                Gs[:, :, 0] * swJd[:, :, 0:1]
+                + Gs[:, :, 1] * swJd[:, :, 1:2]
+            )  # [E, hwl, P*6]
+            U = jnp.zeros((N, hwl, P * 6)).at[ii].add(u_all)
 
         # ---- depth terms ----------------------------------------------
         C = jnp.zeros((N, hwl)).at[ii].add(jnp.sum(wJ_d * J_d, -1))
         w_d = jnp.zeros((N, hwl)).at[ii].add(jnp.sum(wJ_d * (-r), -1))
-        swJd = sw * J_d  # [E, hwl, 2]
-        u_all = (
-            Gs[:, :, 0] * swJd[:, :, 0:1]
-            + Gs[:, :, 1] * swJd[:, :, 1:2]
-        )  # [E, hwl, P*6]
-        U = jnp.zeros((N, hwl, P * 6)).at[ii].add(u_all)
 
         damp = lm_lambda * C + 1e-7
         if eta is not None:

@@ -204,3 +204,48 @@ def test_corr_lookup_routes_match(rng):
     np.testing.assert_allclose(
         routes["blocks"], routes["scalar"], rtol=1e-5, atol=1e-5
     )
+
+
+def test_dense_ba_assembly_routes_match(rng):
+    """The per-edge block assembly ("blocks") must produce the same
+    solver trajectory as the window-row Gs assembly ("gs") — identical
+    problem, both routes, poses/disps/cov allclose (f32 reassociation
+    only)."""
+    from nerf_vo_tpu.ops import dense_ba as dba
+
+    n = 6
+    poses_true, disps_true, intr, ii, jj = _scene(rng, n=n)
+    targets, _ = dense_ba.dense_reproject(
+        poses_true, disps_true, intr, ii, jj
+    )
+    weights = jnp.asarray(rng.uniform(0.3, 1.0, targets.shape), jnp.float32)
+    # perturb
+    poses = poses_true.at[:, :3].add(
+        jnp.asarray(rng.normal(0, 0.01, (n, 3)), jnp.float32)
+    )
+    disps = disps_true * jnp.asarray(
+        rng.uniform(0.9, 1.1, disps_true.shape), jnp.float32
+    )
+    sm = np.full(n, -1, np.int32)
+    sm[2:] = np.arange(n - 2)
+    problem = dense_ba.DenseBAProblem(
+        poses=poses, disps=disps, intrinsics=intr, ii=ii, jj=jj,
+        targets=targets, weights=weights,
+        valid=jnp.ones(ii.shape, bool),
+    )
+    outs = {}
+    orig = dba._BA_ASSEMBLY
+    try:
+        for route in ("gs", "blocks"):
+            dba._BA_ASSEMBLY = route
+            outs[route] = dba.dense_bundle_adjust.__wrapped__(
+                problem, jnp.asarray(sm), num_iters=2, window=n - 2,
+            )
+    finally:
+        dba._BA_ASSEMBLY = orig
+    for a, b, name in zip(outs["gs"], outs["blocks"],
+                          ("poses", "disps", "costs", "cov")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3,
+            err_msg=name,
+        )
