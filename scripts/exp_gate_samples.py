@@ -49,18 +49,18 @@ from nerf_vo_tpu.models.nerfacto import NerfactoConfig, NerfactoModel
 EVAL_RAYS_KEY = jax.random.PRNGKey(7)  # shared across ALL arms/repeats
 
 
-def fit_and_eval(buf, K, steps, rays, seed, eval_rays, **over):
+def fit_and_eval(buf, K, steps, rays, seed, eval_rays, lr=None, **over):
     """Train one arm with a given seed; return (psnr, med_rel_depth, s/step).
 
     The eval is a fixed held-out ray batch rendered train=False — paired
     across arms because `eval_rays` is drawn once by the caller.
     """
     cfg = NerfactoConfig(num_images=K, proposal_training="distill", **over)
-    trainer = MappingTrainer(
-        NerfactoModel(cfg),
-        TrainerConfig(rays_per_batch=rays, max_iterations=steps),
-        K,
-    )
+    tc = (TrainerConfig(rays_per_batch=rays, max_iterations=steps)
+          if lr is None else
+          TrainerConfig(rays_per_batch=rays, max_iterations=steps,
+                        learning_rate=lr))
+    trainer = MappingTrainer(NerfactoModel(cfg), tc, K)
     state = trainer.init(jax.random.PRNGKey(seed))
     key = jax.random.PRNGKey(10_000 + seed)  # same stream for every arm
     t0 = None
@@ -131,11 +131,27 @@ def main():
         # +-1.6 dB, so re-adjudicate under the paired gate (+16% headline
         # at stake, exp_floor_r5: 195K rays/s).
         ("PROD + phased table grads", {"table_grad_phase": True}),
+        # 16384-ray batches at EQUAL TOTAL RAYS (steps/4): the in-step
+        # speed half is exp_batch16; this adjudicates the optimization
+        # cost of 4x batch / 4x fewer Adam steps at the same ray budget.
+        # Conservative pairing: at equal WALL time the bigger batch gets
+        # the speedup's extra rays on top, so a PASS here lower-bounds
+        # the deployed quality. Reference budget: 4096 x 8192
+        # (/root/reference/nerf_vo/mapping/nerfstudio.py:62).
+        ("16K rays @ equal total rays", {"__rays16k__": True}),
+        # same, with sqrt-scaled LR (2x for 4x batch): 4x fewer Adam
+        # steps on a step-hungry hash grid is the expected failure mode
+        # of the naive arm (CPU smoke read -3.2 dB on the tiny fixture);
+        # LR scaling is the standard large-batch mitigation.
+        ("16K rays @ equal rays, 2x LR",
+         {"__rays16k__": True, "__lr__": 2e-2}),
     ]
     if "--bf16-only" in sys.argv:  # cheap on-chip gate: PROD vs bf16 pixels
         arms = [arms[0], arms[4]]
     if "--phase-only" in sys.argv:  # PROD vs phased table grads
-        arms = [arms[0], arms[-1]]
+        arms = [arms[0], arms[5]]
+    if "--rays16k-only" in sys.argv:  # PROD vs 16K-ray equal-rays arms
+        arms = [arms[0], arms[6], arms[7]]
     if smoke:
         for _, over in arms:
             over.setdefault("log2_hashmap_size", 14)
@@ -143,18 +159,28 @@ def main():
 
     buf_bf16 = buf.replace(pixels=buf.pixels.astype(jnp.bfloat16))
     results = {}  # label -> list of (psnr, med, dt)
+    arm_ray_count = {}  # label -> rays/batch actually used by that arm
     for label, over in arms:
         over = dict(over)
         arm_buf = buf_bf16 if over.pop("__bf16_pixels__", False) else buf
+        arm_steps, arm_rays = steps, rays
+        if over.pop("__rays16k__", False):
+            # equal total rays: 4x batch, steps/4 (smoke: 2x / steps/2
+            # so the tiny fixture keeps >= a handful of steps)
+            f = 2 if smoke else 4
+            arm_steps, arm_rays = max(steps // f, 1), rays * f
+        arm_lr = over.pop("__lr__", None)
         rows = []
         for r in range(repeats):
             p, d, t = fit_and_eval(
-                arm_buf, K, steps, rays, r, eval_rays, **over
+                arm_buf, K, arm_steps, arm_rays, r, eval_rays,
+                lr=arm_lr, **over
             )
             rows.append((p, d, t))
             print(f"  {label:30s} seed{r}: psnr={p:6.2f}  iqm|dz|/z={d:6.3f}"
                   f"  {t*1e3:6.1f} ms/step", flush=True)
         results[label] = rows
+        arm_ray_count[label] = arm_rays
 
     base_label = arms[0][0]
     base = results[base_label]
@@ -167,10 +193,13 @@ def main():
           f"{bt*1e3:6.1f} ms/step  {rays/bt/1e3:7.1f}K rays/s")
     for label, _ in arms[1:]:
         rows = results[label]
+        a_rays = arm_ray_count[label]
         dp = [rows[r][0] - base[r][0] for r in range(repeats)]
         dd = [rows[r][1] - base[r][1] for r in range(repeats)]
         t = float(np.median([r[2] for r in rows]))
-        speedup = bt / t
+        # per-RAY speedup so arms with a different batch size compare
+        # honestly (equal-rays 16K arm: 4x rays/step)
+        speedup = (bt / rays) / (t / a_rays)
         mean_dp, worst_dp = float(np.mean(dp)), float(min(dp))
         mean_dd, worst_dd = float(np.mean(dd)), float(max(dd))
         # depth axis gates on the paired per-seed IQM deltas, mean AND
@@ -180,7 +209,7 @@ def main():
         print(f"{label:30s} dPSNR {mean_dp:+6.2f} "
               f"[{min(dp):+6.2f},{max(dp):+6.2f}]  "
               f"ddepth {mean_dd:+6.3f} [{min(dd):+6.3f},{max(dd):+6.3f}]  "
-              f"{speedup:5.2f}x  ({rays/t/1e3:7.1f}K rays/s)  "
+              f"{speedup:5.2f}x  ({a_rays/t/1e3:7.1f}K rays/s)  "
               f"gate={'PASS' if gate else 'FAIL'}")
 
 

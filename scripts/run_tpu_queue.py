@@ -87,6 +87,22 @@ QUEUE = [
     # -1.36 dB) under the paired-seed IQM gate; +16% headline at stake
     ("exp_gate_phase",
      [sys.executable, "scripts/exp_gate_samples.py", "--phase-only"], 3600),
+    # ---- round-5 continuation (post dense-BA block assembly, 6adebfc) --
+    # in-step speed half of the larger-ray-batch decision (A-B-A sweep
+    # 4096/8192/16384/32768/4096; 16K-only was never isolated — the
+    # 203.6K reading had failed phasing mixed in)
+    ("exp_batch16", [sys.executable, "scripts/exp_batch16.py"], 3600),
+    # quality half: equal-total-rays paired gate (16384 x steps/4)
+    ("exp_gate_16k",
+     [sys.executable, "scripts/exp_gate_samples.py", "--rays16k-only"],
+     5400),
+    # post-block-assembly DROID re-attribution (BA solve 34.9 -> 9.66 ms
+    # isolated; expect update ~57.4 -> ~32 ms) + honest full-admission FPS
+    ("exp_droid_cut_r5b", [sys.executable, "scripts/exp_droid_cut.py"],
+     3600),
+    ("bench_droid_r5c", [sys.executable, "bench_droid.py"], 2400),
+    # fresh driver-citable headline AFTER any batch-size flip
+    ("bench_r5c", [sys.executable, "bench.py"], 1800),
 ]
 
 
