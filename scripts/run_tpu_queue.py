@@ -92,17 +92,18 @@ QUEUE = [
     # 4096/8192/16384/32768/4096; 16K-only was never isolated — the
     # 203.6K reading had failed phasing mixed in)
     ("exp_batch16", [sys.executable, "scripts/exp_batch16.py"], 3600),
-    # quality half: equal-total-rays paired gate (16384 x steps/4)
-    ("exp_gate_16k",
-     [sys.executable, "scripts/exp_gate_samples.py", "--rays16k-only"],
-     5400),
     # post-block-assembly DROID re-attribution (BA solve 34.9 -> 9.66 ms
     # isolated; expect update ~57.4 -> ~32 ms) + honest full-admission FPS
     ("exp_droid_cut_r5b", [sys.executable, "scripts/exp_droid_cut.py"],
      3600),
     ("bench_droid_r5c", [sys.executable, "bench_droid.py"], 2400),
-    # fresh driver-citable headline AFTER any batch-size flip
+    # fresh driver-citable headline (confirmation; no flip landed —
+    # exp_batch16 adjudicated negative, STATUS 16a)
     ("bench_r5c", [sys.executable, "bench.py"], 1800),
+    # quality half of the (speed-rejected) 16K flip — RECORD-ONLY, last
+    ("exp_gate_16k",
+     [sys.executable, "scripts/exp_gate_samples.py", "--rays16k-only"],
+     5400),
 ]
 
 
